@@ -1,0 +1,134 @@
+package graft.core
+
+/** Content-row tokenizer + fixed-stride module slicer — the G7–G10 family,
+  * re-expressed over text spans instead of pixel boxes.
+  *
+  * The reference groups character boxes on the x-axis into modules using gap
+  * thresholds (/root/reference/src/diary/diary_structure_detector.py:200-315),
+  * concatenates per-group OCR output with `'_' * int(gap/GAP)` placeholders for
+  * wide gaps (diary_ocr.py:229-254), pads short rows, and slices the row string
+  * at stride 11 keeping 10 chars (diary_ocr.py:267-277). The 1-D text analog:
+  *
+  *  - a "character group" is a maximal run of non-space characters;
+  *  - a space run of length g > GapUnit emits `g / GapUnit` (integer division,
+  *    mirroring Python 2's `int(gap/23)`) placeholder underscores;
+  *  - a space run of length ≤ GapUnit is a glyph gap: adjacent groups fuse —
+  *    the analog of the reference's overlap/broken-glyph merge
+  *    (diary_structure_detector.py:241-278);
+  *  - the pad quirk is preserved bit-exactly: rows shorter than 33 get
+  *    `11 - (len % 11)` underscores appended — which ADDS 11 when
+  *    len ≡ 0 (mod 11) (diary_ocr.py:249-253);
+  *  - slicing: ceil(len/11) modules, module i = row[11i, 11i+10) — the 11th
+  *    char of each stride is the inter-module separator and is dropped.
+  *
+  * Every emitted character carries its source offset in the original turn
+  * text (placeholders/padding carry -1), so each module reports the exact
+  * half-open span it was extracted from — the north-rule span invariant.
+  */
+object Tokenizer {
+
+  /** Space-run width at/below which adjacent groups fuse; above it each
+    * GapUnit-wide step emits one placeholder. Analog of the 23-px module gap
+    * (diary_structure_detector.py:280-292) scaled to character units. */
+  val GapUnit = 2
+
+  /** Pad threshold + stride constants (diary_ocr.py:249-253,267-277). */
+  val PadBelow = 33
+  val Stride = 11
+  val ModuleWidth = 10
+
+  /** Minimum chars for a content row to be tokenized at all — the
+    * is_valid_content_row analog (diary_structure_detector.py:196-198). */
+  val MinRowChars = 3
+
+  final case class RowString(chars: String, srcOffsets: Array[Int])
+
+  /** Build the row string + per-character source offsets for one content line.
+    * `lineStart` is the line's offset within the turn text. */
+  def rowString(line: String, lineStart: Int): RowString = {
+    val sb = new java.lang.StringBuilder(line.length)
+    val offs = new scala.collection.mutable.ArrayBuffer[Int](line.length)
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == ' ') {
+        var j = i
+        while (j < n && line.charAt(j) == ' ') j += 1
+        val gap = j - i
+        if (gap > GapUnit) {
+          var k = 0
+          val placeholders = gap / GapUnit // int truncation, as int(gap/23)
+          while (k < placeholders) {
+            sb.append(ModuleParser.SpaceChar); offs += -1; k += 1
+          }
+        }
+        i = j
+      } else {
+        sb.append(c); offs += (lineStart + i); i += 1
+      }
+    }
+    // Pad quirk — preserved bit-exactly (diary_ocr.py:249-253).
+    if (sb.length < PadBelow) {
+      val missing = Stride - (sb.length % Stride)
+      var k = 0
+      while (k < missing) { sb.append(ModuleParser.SpaceChar); offs += -1; k += 1 }
+    }
+    RowString(sb.toString, offs.toArray)
+  }
+
+  final case class ModuleSlice(ordinal: Int, str: String, span: Span)
+
+  /** Fixed-stride slicing with span reconstruction (diary_ocr.py:267-277). */
+  def sliceRow(row: RowString): Vector[ModuleSlice] = {
+    val len = row.chars.length
+    if (len == 0) return Vector.empty
+    val numModules = (len + Stride - 1) / Stride // ceil(len/11)
+    (0 until numModules).map { m =>
+      val init = m * Stride
+      val stop = math.min(init + ModuleWidth, len)
+      val str = row.chars.substring(init, stop)
+      var lo = Int.MaxValue
+      var hi = -1
+      var i = init
+      while (i < stop) {
+        val o = row.srcOffsets(i)
+        if (o >= 0) { if (o < lo) lo = o; if (o + 1 > hi) hi = o + 1 }
+        i += 1
+      }
+      val span = if (hi < 0) Span(-1, -1) else Span(lo, hi)
+      ModuleSlice(m, str, span)
+    }.toVector
+  }
+
+  /** Token-group view of a row (numChars + optional source span per group) —
+    * the typed analog of the reference's (num_chars, rect) pairs
+    * (diary_structure_detector.py:154-166); used by tests and metrics. */
+  def tokenGroups(line: String, lineStart: Int): Vector[TokenGroup] = {
+    val out = Vector.newBuilder[TokenGroup]
+    var i = 0
+    val n = line.length
+    var runStart = -1
+    def closeRun(end: Int): Unit =
+      if (runStart >= 0) {
+        out += TokenGroup(end - runStart, Some(Span(lineStart + runStart, lineStart + end)))
+        runStart = -1
+      }
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == ' ') {
+        closeRun(i)
+        var j = i
+        while (j < n && line.charAt(j) == ' ') j += 1
+        val gap = j - i
+        if (gap > GapUnit) out += TokenGroup(gap / GapUnit, None)
+        i = j
+      } else {
+        if (runStart < 0) runStart = i
+        i += 1
+      }
+    }
+    closeRun(n)
+    out.result()
+  }
+}

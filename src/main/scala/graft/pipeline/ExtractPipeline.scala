@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.fixtures.TranscriptGen
+
+/** The Spark-native extraction pipeline (SURVEY §3.1/§3.2 Spark shape).
+  *
+  * Scale design, deliberately:
+  *
+  *  - **Extraction is shuffle-free.** `Extractor.extractTurn` is pure and
+  *    per-turn, so the expensive stage is a `mapPartitions` over the scan —
+  *    narrow dependency, arbitrarily parallel, no repartition needed first
+  *    (unlike the reference, which serializes page→column→block on one
+  *    process, /root/reference/diary_ocr.py:330-366).
+  *  - **Dimensions are broadcast.** The entity-id universe and the 35 catalogs
+  *    travel to executors once via a driver broadcast consumed inside the
+  *    extractor (the J1/J2 broadcast-hash-join semantics of
+  *    /root/reference/src/catalogs_data.py:45-85 with zero shuffle); a
+  *    DataFrame `broadcast()` join variant is exposed for SQL-facing
+  *    validation.
+  *  - **Dedup is partial-agg-friendly.** First-wins dedup (A5/A6,
+  *    /root/reference/src/diary/diary_data.py:33-49) is `groupBy(key).agg(
+  *    min_by(payload, arrivalOrder))`, which map-side-combines before the
+  *    shuffle — a mega-conversation's duplicates collapse locally, so key
+  *    skew never concentrates rows on one reducer (no window-over-hot-key).
+  *  - **Ordered output uses range partitioning.** `repartitionByRange(
+  *    conv_id, turn_idx, …)` + `sortWithinPartitions` yields globally sorted
+  *    output while *splitting* mega-conversations across tasks — the salting
+  *    goal (north rule) achieved without breaking order.
+  *  - **Resume is a left-anti join** against the done manifest (J4,
+  *    /root/reference/diary_ocr.py:95-98).
+  */
+object ExtractPipeline {
+
+  val Seed: Long = TranscriptGen.DefaultSeed
+
+  /** Broadcast extraction context: entity-id set + skip rules. Catalogs are
+    * compile-time data (Catalogs.tables) and ship inside the closure. */
+  def makeContext(entityIds: Set[Int], skipRules: Set[SkipRule] = Set.empty): ModuleParser.Context =
+    new ModuleParser.Context(entityIds.contains, skipRules)
+
+  // ---- sources -------------------------------------------------------------
+
+  /** Distributed deterministic transcript table (the Iceberg-scan stand-in;
+    * same shape as BASELINE.json input_hint). */
+  def transcripts(spark: SparkSession, nConvs: Long, parallelism: Int): Dataset[Turn] = {
+    import spark.implicits._
+    spark.range(0L, nConvs, 1L, parallelism)
+      .as[Long]
+      .flatMap(c => TranscriptGen.conversation(Seed, nConvs, c))
+  }
+
+  /** Entity dimension (the annuary analog, S2): the seeded universe. */
+  def entityDim(spark: SparkSession): Dataset[EntityRegister] = {
+    import spark.implicits._
+    TranscriptGen.allEntityIds.toSeq.sorted
+      .map(id => EntityRegister(id, TranscriptGen.entityTextId(id),
+        TranscriptGen.entityName(id),
+        if (id < EntityParser.CommunityStartId) "person" else "community", ""))
+      .toDS()
+  }
+
+  /** The 35 catalogs as one tall dimension DataFrame (catalog_id, key, value)
+    * for broadcast-join validation (S4/J1). */
+  def catalogDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Catalogs.tables.toSeq.sortBy(_._1).flatMap { case (id, m) =>
+      m.toSeq.sorted.map { case (k, v) => (id, k, v) }
+    }.toDF("catalog_id", "key", "value")
+  }
+
+  // ---- the extraction core -------------------------------------------------
+
+  /** Run the per-turn extractor over the transcript table. Shuffle-free. */
+  def extract(turns: Dataset[Turn], ctx: ModuleParser.Context): Dataset[TurnExtraction] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ctx)
+    turns.mapPartitions { it =>
+      val c = bc.value
+      it.map(t => Extractor.extractTurn(t, c))
+    }
+  }
+
+  /** Extracted modules, un-deduplicated (one row per parsed module). */
+  def modules(ex: Dataset[TurnExtraction]): Dataset[ExtractedModule] = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    ex.flatMap(_.modules)
+  }
+
+  def errors(ex: Dataset[TurnExtraction]): Dataset[ExtractionError] = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    ex.flatMap(_.errors)
+  }
+
+  def cleanTurns(ex: Dataset[TurnExtraction]): Dataset[CleanTurn] = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    ex.map(_.clean)
+  }
+
+  def headerEntities(ex: Dataset[TurnExtraction]): Dataset[EntityRegister] = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    ex.flatMap(_.entities)
+  }
+
+  // ---- dedup (A5/A6) --------------------------------------------------------
+
+  /** First-wins module dedup on (conv_id, serialized module) — the reference's
+    * add_module semantics (/root/reference/src/diary/diary_data.py:33-49),
+    * deterministic under any parallelism because the winner is chosen by the
+    * total order (turn_idx, block, row, module ordinal), never arrival order.
+    * Uses min_by (partial-aggregating) instead of a window: skew-safe. */
+  def dedupModules(mods: Dataset[ExtractedModule]): DataFrame = {
+    val keyed = mods.withColumn("module", concat_ws("|", col("module_type"),
+      concat_ws("|", col("zones"))))
+    val orderKey = struct(col("turn_idx"), col("block_ordinal"),
+      col("row_ordinal"), col("module_ordinal"))
+    val payload = struct(keyed.columns.map(col).toIndexedSeq: _*)
+    keyed
+      .groupBy(col("conv_id"), col("module"))
+      .agg(min_by(payload, orderKey).as("first"))
+      .select(col("first.*"))
+  }
+
+  /** First-wins entity dedup by num_id (add_register semantics,
+    * /root/reference/src/annuary/annuary_data.py:91-96). */
+  def dedupEntities(ents: Dataset[EntityRegister]): Dataset[EntityRegister] = {
+    val spark = ents.sparkSession
+    import spark.implicits._
+    ents.groupByKey(_.num_id)
+      .reduceGroups((a, b) => if (lt(a, b)) a else b)
+      .map(_._2)
+  }
+  private def lt(a: EntityRegister, b: EntityRegister): Boolean = {
+    val c = a.text_id.compareTo(b.text_id)
+    if (c != 0) c < 0 else a.name.compareTo(b.name) < 0
+  }
+
+  // ---- ordered sinks (O4) ----------------------------------------------------
+
+  /** Globally ordered output without a hot-key window: range partitioning
+    * splits mega-conversations across tasks while keeping global order. */
+  def ordered(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("conv_id"), col("turn_idx"), col("block_ordinal"),
+        col("row_ordinal"), col("module_ordinal"))
+      .sortWithinPartitions("conv_id", "turn_idx", "block_ordinal",
+        "row_ordinal", "module_ordinal")
+
+  // ---- resume (J4) -----------------------------------------------------------
+
+  /** Anti-join resume prune: drop turns whose (conv_id, turn_idx) already
+    * appear in the done manifest — the skip-already-read primitive. */
+  def pruneDone(turns: Dataset[Turn], done: DataFrame): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.join(done.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      .as[Turn]
+  }
+
+  // ---- metrics (X1-X3) --------------------------------------------------------
+
+  /** Per-partition lineage/metrics (north rule): blocks kept/dropped, span
+    * counts, error counts — computed in the same pass as extraction. */
+  def partitionMetrics(ex: Dataset[TurnExtraction]): Dataset[PartitionMetrics] = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    ex.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var turns = 0L; var bt = 0L; var bk = 0L; var rows = 0L
+      var ok = 0L; var err = 0L; var chars = 0L
+      it.foreach { r =>
+        turns += 1; bt += r.blocksTotal; bk += r.blocksKept
+        rows += r.rowsTokenized; ok += r.modules.size; err += r.errors.size
+        r.modules.foreach(m => chars += math.max(0, m.span_end - m.span_start))
+      }
+      if (turns == 0L) Iterator.empty
+      else Iterator.single(PartitionMetrics(pid, turns, bt, bk, bt - bk, rows, ok, err, chars))
+    }
+  }
+
+  // ---- SQL-facing validation variant (J1 as a broadcast join) -----------------
+
+  /** Re-validate extracted zones against the catalog dimension with an
+    * explicit broadcast join — the DataFrame form of the catalog probe, used
+    * to demonstrate/exercise the broadcast-hash-join path and to audit the
+    * in-extractor validation. Returns zone-level rows with a `hit` flag. */
+  def zoneAudit(modsDeduped: DataFrame, catalogs: DataFrame): DataFrame = {
+    val zones = modsDeduped
+      .select(col("conv_id"), col("turn_idx"), col("module_type"),
+        posexplode(col("zones")).as(Seq("zone_idx", "zone_value")))
+    // attach the grammar's catalog id per (module_type, zone_idx)
+    val layout = Grammar.moduleZones.toSeq.flatMap { case (t, zs) =>
+      zs.zipWithIndex.map { case ((cat, _), i) =>
+        (t, i, if (cat == 27) 9 else cat)
+      }
+    }
+    val spark = modsDeduped.sparkSession
+    import spark.implicits._
+    val layoutDf = layout.toDF("module_type", "zone_idx", "catalog_id")
+    zones
+      .join(broadcast(layoutDf), Seq("module_type", "zone_idx"))
+      .join(broadcast(catalogs.withColumnRenamed("key", "zone_value")),
+        Seq("catalog_id", "zone_value"), "left")
+      .withColumn("hit", col("value").isNotNull)
+  }
+}
