@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core._
+import graft.fixtures.TranscriptGen
+import graft.pipeline.ExtractPipeline
+import graft.tools.Golden
+
+/** Distributed-vs-driver differential tests (SURVEY §5.2): the Spark pipeline
+  * must produce exactly the single-threaded extraction results at any
+  * parallelism, and dedup/ordering must be arrival-order-independent. */
+class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "7") // deliberately odd
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val nConvs = Golden.GoldenConvs
+
+  test("distributed extraction equals driver-side extraction (differential oracle)") {
+    val turns = ExtractPipeline.transcripts(spark, nConvs.toLong, 5)
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val ex = ExtractPipeline.extract(turns, ctx)
+
+    val distModules = ExtractPipeline.modules(ex).collect().toSet
+    val oracle = Golden.goldenCorpus()
+    val oracleModules = oracle.flatMap(_._2.modules).toSet
+    assert(distModules == oracleModules)
+
+    val distErrors = ExtractPipeline.errors(ex).collect().toSet
+    assert(distErrors == oracle.flatMap(_._2.errors).toSet)
+
+    val distClean = ExtractPipeline.cleanTurns(ex).collect()
+      .filter(_.clean_text.nonEmpty).map(c => (c.conv_id, c.turn_idx, c.clean_text)).toSet
+    val oracleClean = oracle.map(_._2.clean).filter(_.clean_text.nonEmpty)
+      .map(c => (c.conv_id, c.turn_idx, c.clean_text)).toSet
+    assert(distClean == oracleClean)
+  }
+
+  test("dedup + ordered output is identical at different parallelism") {
+    def run(parallelism: Int): Seq[String] = {
+      val turns = ExtractPipeline.transcripts(spark, nConvs.toLong, parallelism)
+      val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+      val ex = ExtractPipeline.extract(turns, ctx)
+      ExtractPipeline.ordered(
+        ExtractPipeline.dedupModules(ExtractPipeline.modules(ex)))
+        .collect()
+        .map(_.mkString("|"))
+        .toSeq
+    }
+    val a = run(2)
+    val b = run(11)
+    assert(a == b) // same rows, same global order
+  }
+
+  test("first-wins module dedup picks the earliest (turn, block, row, module)") {
+    import spark.implicits._
+    val dup1 = ExtractedModule("c1", 5, 0, 0, 0, "A", Seq("x"), "A", 0, 1)
+    val dup2 = ExtractedModule("c1", 2, 1, 0, 0, "A", Seq("x"), "A", 0, 1) // earlier turn
+    val other = ExtractedModule("c1", 9, 0, 0, 0, "BA", Seq("y"), "BA", 0, 2)
+    val ds = Seq(dup1, dup2, other).toDS()
+    val out = ExtractPipeline.dedupModules(ds).collect()
+    assert(out.length == 2)
+    val winner = out.find(_.getAs[String]("module_type") == "A").get
+    assert(winner.getAs[Int]("turn_idx") == 2)
+  }
+
+  test("entity dedup is deterministic first-wins by (text_id, name)") {
+    import spark.implicits._
+    val e1 = EntityRegister(7, "ZZ", "ZULU", "person", "")
+    val e2 = EntityRegister(7, "AA", "ALPHA", "person", "")
+    val out = ExtractPipeline.dedupEntities(Seq(e1, e2).toDS()).collect()
+    assert(out.length == 1)
+    assert(out.head.text_id == "AA")
+  }
+
+  test("anti-join resume prunes done turns") {
+    import spark.implicits._
+    val turns = ExtractPipeline.transcripts(spark, 4L, 2)
+    val all = turns.count()
+    val done = turns.limit(10).select("conv_id", "turn_idx")
+    val pruned = ExtractPipeline.pruneDone(turns, done.toDF())
+    assert(pruned.count() == all - 10)
+  }
+
+  test("partition metrics totals are partitioning-invariant") {
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    def totals(par: Int): (Long, Long, Long) = {
+      val ex = ExtractPipeline.extract(
+        ExtractPipeline.transcripts(spark, nConvs.toLong, par), ctx)
+      val m = ExtractPipeline.partitionMetrics(ex).collect()
+      (m.map(_.turns).sum, m.map(_.modules_ok).sum, m.map(_.modules_err).sum)
+    }
+    assert(totals(2) == totals(8))
+  }
+}
