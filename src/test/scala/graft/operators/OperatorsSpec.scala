@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SharedSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "7")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
+
+  test("token and subword counts") {
+    assert(one("hello world  foo", TextStats.tokenCount(col("text"))) == 3)
+    assert(one("don't stop-me 42x", TextStats.subwordCount(col("text"))) == 8)
+  }
+
+  test("language id picks the stopword-dominant language, 'und' fallback") {
+    assert(one("the cat and the dog sat in the garden",
+      TextStats.langIdCol(col("text"))) == "en")
+    assert(one("el perro y la casa de los vecinos en madrid",
+      TextStats.langIdCol(col("text"))) == "es")
+    assert(one("der hund und die katze ist von mir",
+      TextStats.langIdCol(col("text"))) == "de")
+    assert(one("qwerty zxcvb asdfgh", TextStats.langIdCol(col("text"))) == "und")
+  }
+
+  test("quality score rewards clean prose, punishes symbol soup") {
+    val prose = "a clean readable sentence with plenty of ordinary words in it"
+    val soup = "@#$% ^&*( !!!! ???? ;;;; ~~~~ ]]]] [[[["
+    val qp = one(prose, TextStats.qualityColumns(col("text")).last._2).asInstanceOf[Double]
+    val qs = one(soup, TextStats.qualityColumns(col("text")).last._2).asInstanceOf[Double]
+    assert(qp > 0.8)
+    assert(qs < 0.2)
+  }
+
+  test("shingles: word 3-grams with short-doc fallback") {
+    val sh = one("a b c d", TextStats.shinglesCol(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh == Seq("a b c", "b c d"))
+    val short = one("a b", TextStats.shinglesCol(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val a = one("one two three four five", TextStats.fingerprintCol(col("text")))
+    val b = one("one two three four five", TextStats.fingerprintCol(col("text")))
+    val c = one("five four three two one", TextStats.fingerprintCol(col("text")))
+    assert(a == b)
+    assert(a != c)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Small corpus + planted near-dups (every 25th token replaced → true
+    * Jaccard of the planted pair ≈ 0.8). */
+  private def corpus(n: Int): DataFrame = {
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    (0 until n).map { i =>
+      val rng = new scala.util.Random(i)
+      val toks = Vector.fill(60 + (i % 20))(words(rng.nextInt(words.length)))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+  private def planted(docs: DataFrame): DataFrame = {
+    val p = docs.select((col("doc_id") + 1000).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        (t, i) => when((i + 1) % 25 === 0, lit("zz")).otherwise(t))).as("text"))
+    docs.union(p)
+  }
+
+  /** Driver-side exact Jaccard of word-3-gram shingle sets. */
+  private def trueJaccard(a: String, b: String): Double = {
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.union(sb).isEmpty) 0.0 else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exact dedup groups identical texts under the min id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash near-dups: high recall on planted pairs, exact-verified precision") {
+    val docs = planted(corpus(40))
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // precision: every reported pair truly has J >= 0.6 (exact verification)
+    found.foreach { case (a, b, j) =>
+      val tj = trueJaccard(texts(a), texts(b))
+      assert(math.abs(tj - j) < 1e-9, s"pair ($a,$b)")
+      assert(tj >= 0.6)
+    }
+    // recall on planted pairs with true J >= 0.75 (banding odds ≥ 0.997)
+    val planted75 = (0 until 40).filter { i =>
+      trueJaccard(texts(i.toLong), texts(i + 1000L)) >= 0.75
+    }
+    val foundPairs = found.map(p => (p._1, p._2)).toSet
+    val hit = planted75.count(i => foundPairs.contains((i.toLong, i + 1000L)))
+    assert(planted75.nonEmpty)
+    assert(hit.toDouble / planted75.size >= 0.9, s"$hit/${planted75.size}")
+  }
+
+  test("simhash near-dups recover planted pairs within the hamming budget") {
+    val docs = planted(corpus(40))
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (0 until 40).count(i => found.contains((i.toLong, i + 1000L))) / 40.0
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("simhash hamming bound is exact on reported pairs") {
+    val docs = planted(corpus(20))
+    val rows = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 8).collect()
+    rows.foreach(r => assert(r.getAs[Number]("dist").longValue <= 8))
+  }
+
+  test("ngram jaccard column equals driver-side computation") {
+    val pairs = Seq(("a b c d e f", "a b c d e zz")).toDF("ta", "tb")
+    val j = pairs.select(Dedup.ngramJaccard(col("ta"), col("tb")).as("j"))
+      .collect().head.getDouble(0)
+    assert(math.abs(j - trueJaccard("a b c d e f", "a b c d e zz")) < 1e-12)
+  }
+
+  test("embedding near-dups find planted perturbed vectors") {
+    val vecs = (0 until 60).map { i =>
+      val rng = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val perturbed = vecs.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * 0.99f + 0.001f).as("embedding"))
+    val all = vecs.union(perturbed)
+    val found = Dedup.embeddingNearDups(all, "vec_id", "embedding",
+      dim = 16, threshold = 0.98, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (0 until 60).count(i => found.contains((i.toLong, i + 1000L))) / 60.0
+    assert(recall >= 0.7, s"recall $recall")
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int): DataFrame =
+    (0 until n).map { i =>
+      val rng = new scala.util.Random(i + 7)
+      (i.toLong, Array.fill(dim)(rng.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    val corpus = vecs(100, 12)
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))) // (q, rank, id)
+
+    val data = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- 0L until 3L) {
+      val expect = data.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(data(q), data(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val actual = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(actual == expect, s"query $q")
+    }
+  }
+
+  test("LSH top-k returns exact cosines and decent recall vs brute force") {
+    val corpus = vecs(300, 12)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", 10, dim = 12, nBits = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall") // approximate by design
+    assert(lsh.size <= 50)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("binary plumbing: schema, determinism, batched decode stub") {
+    val docs = Seq((0L, "alpha bravo"), (1L, "charlie delta"), (2L, "echo fox"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMedia(docs, spark)
+    val feats1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.decodeStub(Multimodal.synthesizeMedia(docs, spark))
+      .collect().sortBy(_.doc_id)
+    assert(feats1.toSeq == feats2.toSeq) // deterministic
+    assert(feats1.map(_.kind).toSeq == Seq("image", "audio", "video"))
+    feats1.foreach { f =>
+      assert(f.n_bytes >= 256)
+      assert(f.byte_entropy > 0 && f.byte_entropy <= 8.0)
+      assert(f.head_histogram.size == 8)
+    }
+    // frame sampling arithmetic: video with n frames samples ceil(n/stride)
+    val video = feats1.find(_.kind == "video").get
+    assert(video.frames_sampled >= 1)
+  }
+}
