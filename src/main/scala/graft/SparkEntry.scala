@@ -154,6 +154,23 @@ object SparkEntry {
           sum(col("modules_err")).as("modules_err"),
           sum(col("span_chars")).as("span_chars"))
     }),
+    "q26_entity_status" -> ((s, dir) => {
+      // the reference's --status audit: counts by kind + missing-id gap
+      // ranges with the 0/8999 start sentinels (annuary_data.py:36-44,81-89)
+      val ex = runExtraction(s, dir)
+      val entities = ExtractPipeline.dedupEntities(
+        ExtractPipeline.headerEntities(ex)).toDF()
+      graft.operators.GapAudit.entityStatus(entities, s)
+        .orderBy(col("kind"), col("gap_start"))
+    }),
+    "q27_gap_audit_scalable" -> ((s, dir) => {
+      // two-phase distributed gap audit (no single-partition window) over
+      // the same key space as q07: results must agree with the window form
+      graft.operators.GapAudit.gaps(
+        load(s, dir, "orders").select(floor(col("o_totalprice")).cast("long").as("k")),
+        "k").orderBy(col("gap_start"))
+    }),
+
     // ---- text analysis over documents (oracle-checked) --------------------
     "q30_text_tokens" -> ((s, dir) => {
       val d = load(s, dir, "documents")
@@ -288,6 +305,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t WHERE rn <= 2""".stripMargin,
+    "q27_gap_audit_scalable" ->
+      """SELECT prev AS gap_start, k AS gap_end, k - prev - 1 AS missing
+        |FROM (SELECT k, lag(k) OVER (ORDER BY k) AS prev
+        |      FROM (SELECT DISTINCT CAST(FLOOR(o_totalprice) AS BIGINT) AS k
+        |            FROM orders) d) t
+        |WHERE prev IS NOT NULL AND k - prev > 1""".stripMargin,
     "q30_text_tokens" ->
       """SELECT doc_id,
         |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -11,7 +11,18 @@ package graft.core
   */
 object Extractor {
 
-  def extractTurn(turn: Turn, ctx: ModuleParser.Context): TurnExtraction = {
+  def extractTurn(turn: Turn, ctx: ModuleParser.Context): TurnExtraction =
+    extract(turn.conv_id, turn.turn_idx, turn.text, ctx)
+
+  /** Column-pruned form: extraction reads only (conv_id, turn_idx, text) —
+    * the Spark pipeline projects before the scan so role/tool/ts are never
+    * decoded. */
+  def extract(convId: String, turnIdx: Int, text0: String,
+      ctx: ModuleParser.Context): TurnExtraction = {
+    // canonicalize first (the deskew/binarize analog): all downstream span
+    // offsets are coordinates in the canonical text
+    val text = Normalizer.canonicalize(text0)
+    val turn = Turn(convId, turnIdx, null, text, null, null)
     val blocks = Blocker.blockTree(turn.text)
 
     val modules = Vector.newBuilder[ExtractedModule]
@@ -38,17 +49,22 @@ object Extractor {
         case BlockKind.Content =>
           blocksKept += 1
           var rowOrdinal = 0
-          cb.lines.foreach { case (line, lineStart) =>
-            val payloadChars = line.count(_ != ' ')
-            if (payloadChars >= Tokenizer.MinRowChars && !Blocker.isSeparator(line)) {
+          val text = turn.text
+          cb.raw.lineBounds.foreach { lb =>
+            var payloadChars = 0
+            var ci = lb.start
+            while (ci < lb.end) { if (text.charAt(ci) != ' ') payloadChars += 1; ci += 1 }
+            if (payloadChars >= Tokenizer.MinRowChars &&
+                !Blocker.isSeparator(text.substring(lb.start, lb.end))) {
               rowsTokenized += 1
-              val row = Tokenizer.rowString(line, lineStart)
+              val row = Tokenizer.rowStringRange(text, lb.start, lb.end, lb.start)
               val slices = Tokenizer.sliceRow(row)
               if (slices.length > ModuleParser.MaxModulesPerRow) {
                 // Row cap — diary_module_parser.py:122-124.
                 errors += ExtractionError(
                   turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal, -1,
-                  ErrorCode.ModulesNumberExceeded, -1, slices.length.toString, line)
+                  ErrorCode.ModulesNumberExceeded, -1, slices.length.toString,
+                  text.substring(lb.start, lb.end))
               } else {
                 slices.foreach { s =>
                   ModuleParser.parseModule(s.ordinal, s.str, ctx) match {
@@ -70,7 +86,9 @@ object Extractor {
 
         case BlockKind.Prose =>
           blocksKept += 1
-          proseTexts += cb.lines.map(_._1).mkString("\n")
+          // block lines are contiguous (single '\n' separators), so the raw
+          // span slice equals the lines joined by '\n'
+          proseTexts += turn.text.substring(b.span.start, b.span.end)
           proseSpans += b.span
 
         case _ => // separator / boilerplate: dropped

@@ -45,36 +45,46 @@ object Tokenizer {
 
   /** Build the row string + per-character source offsets for one content line.
     * `lineStart` is the line's offset within the turn text. */
-  def rowString(line: String, lineStart: Int): RowString = {
-    val sb = new java.lang.StringBuilder(line.length)
-    val offs = new scala.collection.mutable.ArrayBuffer[Int](line.length)
-    var i = 0
-    val n = line.length
-    while (i < n) {
-      val c = line.charAt(i)
+  def rowString(line: String, lineStart: Int): RowString =
+    rowStringRange(line, 0, line.length, lineStart)
+
+  /** Range form: tokenizes text[lo, hi); emitted source offsets are
+    * offsetBase + (position within the range) — avoids per-line substrings. */
+  def rowStringRange(text: String, lo: Int, hi: Int, offsetBase: Int): RowString = {
+    val n = hi - lo
+    // upper bound: payload chars + gap placeholders (< n/2 each) + pad 11
+    val cap = n + Stride + 1
+    val buf = new Array[Char](cap)
+    val offs = new Array[Int](cap)
+    var len = 0
+    var i = lo
+    while (i < hi) {
+      val c = text.charAt(i)
       if (c == ' ') {
         var j = i
-        while (j < n && line.charAt(j) == ' ') j += 1
+        while (j < hi && text.charAt(j) == ' ') j += 1
         val gap = j - i
         if (gap > GapUnit) {
           var k = 0
           val placeholders = gap / GapUnit // int truncation, as int(gap/23)
           while (k < placeholders) {
-            sb.append(ModuleParser.SpaceChar); offs += -1; k += 1
+            buf(len) = ModuleParser.SpaceChar; offs(len) = -1; len += 1; k += 1
           }
         }
         i = j
       } else {
-        sb.append(c); offs += (lineStart + i); i += 1
+        buf(len) = c; offs(len) = offsetBase + (i - lo); len += 1; i += 1
       }
     }
     // Pad quirk — preserved bit-exactly (diary_ocr.py:249-253).
-    if (sb.length < PadBelow) {
-      val missing = Stride - (sb.length % Stride)
+    if (len < PadBelow) {
+      val missing = Stride - (len % Stride)
       var k = 0
-      while (k < missing) { sb.append(ModuleParser.SpaceChar); offs += -1; k += 1 }
+      while (k < missing) {
+        buf(len) = ModuleParser.SpaceChar; offs(len) = -1; len += 1; k += 1
+      }
     }
-    RowString(sb.toString, offs.toArray)
+    RowString(new String(buf, 0, len), java.util.Arrays.copyOf(offs, len))
   }
 
   final case class ModuleSlice(ordinal: Int, str: String, span: Span)

