@@ -171,6 +171,47 @@ object SparkEntry {
         "k").orderBy(col("gap_start"))
     }),
 
+    "q28_skip_rules" -> ((s, dir) => {
+      // X4 analog: a skip-rules config table downgrades tolerated zone
+      // failures to keep-the-raw-string, exactly like the reference's
+      // interactive SKIP protocol (diary_module_parser.py:170-181).
+      // Derive rules from the first run's zone errors, re-run, compare.
+      val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
+        s.sparkContext.defaultParallelism)
+      val ctx0 = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+      val firstErrors = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx0))
+      // zone-level codes are skippable; type/row-level ones are not
+      val skippable = Set(ErrorCode.InvalidValueOnZone, ErrorCode.BadYear,
+        ErrorCode.BadNumId, ErrorCode.NoEntityRegister, ErrorCode.BadZoneString)
+      // iterate to fixed point, like the reference user repeatedly SKIPping
+      // until the row parses (diary_ocr.py:279-311)
+      var rules = Set.empty[SkipRule]
+      var lastErrors = firstErrors
+      var changed = true
+      var iter = 0
+      while (changed && iter < 4) {
+        val fresh = lastErrors
+          .filter(e => skippable.contains(e.code) && e.module_ordinal >= 0)
+          .collect()
+          .map(e => SkipRule(e.module_ordinal, e.zone_catalog, e.zone_str))
+          .toSet -- rules
+        changed = fresh.nonEmpty
+        if (changed) {
+          rules ++= fresh
+          val ctx1 = new ModuleParser.Context(TranscriptGen.allEntityIds.contains, rules)
+          lastErrors = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx1))
+        }
+        iter += 1
+      }
+      val before = firstErrors.groupBy(col("code")).count()
+        .withColumnRenamed("count", "errors_before")
+      val after = lastErrors
+        .groupBy(col("code")).count().withColumnRenamed("count", "errors_after")
+      before.join(after, Seq("code"), "left")
+        .na.fill(0, Seq("errors_after"))
+        .withColumn("skip_rules", lit(rules.size))
+    }),
+
     // ---- text analysis over documents (oracle-checked) --------------------
     "q30_text_tokens" -> ((s, dir) => {
       val d = load(s, dir, "documents")

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.TranscriptGen
+import graft.operators.SharedSpark
+import graft.pipeline.ExtractPipeline
+
+/** Physical-plan quality gates: these lock the scale properties the code
+  * comments claim — filter/column pushdown to the parquet scan, broadcast
+  * joins for dimensions, and a shuffle-free extraction stage. A regression
+  * that re-introduces a shuffle or loses pushdown fails here, not in a
+  * benchmark three rounds later. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // only the 4 referenced columns are read (3 projected + 1 filter-only)
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_shipdate"), "unreferenced column must be pruned")
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04/q05: anti and semi joins use broadcast hash strategy at this size") {
+    assert(plan("q04_anti_join").contains("BroadcastHashJoin"))
+    assert(plan("q05_semi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("extraction stage is shuffle-free (no Exchange before the extractor)") {
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val turns = ExtractPipeline.transcripts(spark, 50L, 4)
+    val p = ExtractPipeline.modules(ExtractPipeline.extract(turns, ctx))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("extraction over a parquet table prunes to (conv_id, turn_idx, text)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    ExtractPipeline.writeTranscripts(spark, 20L, dir, 2)
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val p = ExtractPipeline.extract(ExtractPipeline.readTranscripts(spark, dir), ctx)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("conv_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("role") && !readSchema.contains("tool") &&
+      !readSchema.contains("ts"), s"unused columns must not be decoded: $readSchema")
+  }
+
+  test("dedup uses partial aggregation (map-side combine), not a window") {
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val turns = ExtractPipeline.transcripts(spark, 50L, 4)
+    val p = ExtractPipeline.dedupModules(
+      ExtractPipeline.modules(ExtractPipeline.extract(turns, ctx)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    // partial_min_by before the exchange = map-side combine
+    assert(p.contains("partial_min_by") || p.contains("partial min_by")
+      || p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+}

@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 
 import graft.core._
 import graft.fixtures.TranscriptGen
@@ -12,17 +10,10 @@ import graft.tools.Golden
 /** Distributed-vs-driver differential tests (SURVEY §5.2): the Spark pipeline
   * must produce exactly the single-threaded extraction results at any
   * parallelism, and dedup/ordering must be arrival-order-independent. */
-class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+class SparkPipelineSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "7") // deliberately odd
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+  // one shared session across all Spark suites (the JVM tears it down)
+  private lazy val spark = graft.operators.SharedSpark.spark
 
   private val nConvs = Golden.GoldenConvs
 
