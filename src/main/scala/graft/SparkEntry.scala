@@ -283,6 +283,17 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    "q47_ann_ivf_topk" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 8)
+      graft.operators.Ivf.topK(e, "vec_id", "embedding",
+        queries, "qid", "qv", 10, model, probes = 4)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // ---- multimodal plumbing (decode stubbed; schema/batching real) --------
     "q46_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(load(s, dir, "documents"), s)

@@ -134,8 +134,19 @@ object Dedup {
 
   // ---- embedding cosine near-dup ---------------------------------------------
 
-  /** Cosine similarity of two float-array columns, pure expressions. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two numeric-array columns: the native fused
+    * Catalyst expression (one pass, zero allocation, codegen) with a cast
+    * to array<double>. See graft.functions.CosineSimilarity; the composed
+    * higher-order-function form it replaces lives in `cosineHof` for
+    * differential testing. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Reference formulation via composed built-ins (three passes + an
+    * intermediate array). Semantically identical to `cosine`; kept as the
+    * differential-test oracle for the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path complementing Similarity.lshTopK.
+  *
+  * Train: a deterministic sample of the corpus is k-means-clustered on the
+  * DRIVER (the sample is tiny; the model is just k × dim doubles). Index:
+  * every corpus vector is assigned to its nearest centroid — one broadcast
+  * pass, no shuffle beyond the final top-k. Search: each query probes only
+  * its `probes` nearest cells and re-ranks exactly inside them, so the scan
+  * cost per query drops from |corpus| to ~probes/k of it. All distances are
+  * cosine via the native fused expression (graft.functions.CosineSimilarity).
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den > 0) dot / den else 0.0
+  }
+
+  /** Deterministic driver-side k-means on a hash-sampled subset. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int = 2048, iters: Int = 5): Model = {
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(pmod(hash(col("id")), lit(997)), col("id")) // deterministic spread
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+
+    var centroids = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestCos = Double.MinValue
+        var c = 0
+        while (c < k) {
+          val cs = cosineArr(v, centroids(c))
+          if (cs > bestCos) { bestCos = cs; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    Model(centroids)
+  }
+
+  /** Column: index of the nearest centroid for a vector column. */
+  def cellOf(v: Column, model: Model): Column = {
+    val cosines = model.centroids.map { c =>
+      graft.functions.CosineSimilarity(
+        v.cast("array<double>"),
+        typedLit(c.toSeq))
+    }
+    val arr = array(cosines.toIndexedSeq: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** ANN top-k: assign corpus to cells once; each query probes its `probes`
+    * nearest cells; exact cosine re-rank within the probed cells only. */
+  def topK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, model: Model, probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val assigned = corpus.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+      cellOf(col(vecCol), model).as("cell"))
+
+    // queries are small: compute their probe cells driver-side
+    val qRows = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(qvecCol).cast("array<double>").as("qv")).collect()
+    val probePairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val ranked = model.centroids.zipWithIndex
+        .map { case (c, i) => (i, cosineArr(qv, c)) }
+        .sortBy { case (i, cs) => (-cs, i) }
+        .take(probes)
+      ranked.map { case (cell, _) => (r.getLong(0), cell) }
+    }.toSeq.toDF("query_id", "cell")
+    val qDf = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("query_id", "qv")
+
+    val cands = assigned
+      .join(broadcast(probePairs), Seq("cell"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -208,6 +208,44 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int): DataFrame =
+    (0 until n).map { i =>
+      val rng = new scala.util.Random(i + 7)
+      (i.toLong, Array.fill(dim)(rng.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+
+  test("IVF fit is deterministic and assigns every vector to a cell") {
+    val corpus = vecs(300, 12)
+    val m1 = Ivf.fit(corpus, "vec_id", "embedding", k = 8)
+    val m2 = Ivf.fit(corpus, "vec_id", "embedding", k = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    val cells = corpus.select(Ivf.cellOf(col("embedding"), m1).as("c"))
+      .groupBy("c").count().collect()
+    assert(cells.map(_.getAs[Int]("c")).forall(c => c >= 0 && c < 8))
+    assert(cells.map(_.getAs[Long]("count")).sum == 300)
+  }
+
+  test("IVF top-k: exact cosines, decent recall vs brute force") {
+    val corpus = vecs(300, 12)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Ivf.fit(corpus, "vec_id", "embedding", k = 8)
+    val ivf = Ivf.topK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", 10, model, probes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // probes=4 of k=8 cells
+    assert(ivf.size <= 50)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
