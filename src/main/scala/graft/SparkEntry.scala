@@ -212,6 +212,46 @@ object SparkEntry {
         .withColumn("skip_rules", lit(rules.size))
     }),
 
+    "q29_conversation_text" -> ((s, dir) => {
+      // stable intra-conversation reassembly (north rule): clean turn texts
+      // concatenated in turn_idx order per conversation. Implemented as
+      // sort_array(collect_list(struct(turn_idx, text))) — partial-agg
+      // friendly (no hot-key window); mega-conversations aggregate
+      // map-side first.
+      val ex = runExtraction(s, dir)
+      ExtractPipeline.cleanTurns(ex).toDF()
+        .filter(length(col("clean_text")) > 0)
+        .groupBy(col("conv_id"))
+        .agg(
+          count(lit(1)).as("prose_turns"),
+          concat_ws("\n\n",
+            transform(
+              sort_array(collect_list(struct(col("turn_idx"), col("clean_text")))),
+              x => x.getField("clean_text"))).as("conversation_text"))
+        .withColumn("n_chars", length(col("conversation_text")))
+    }),
+    "q48_sessionize" -> ((s, dir) => {
+      // gap-based sessionization over the events stream table — the temporal
+      // twin of the tokenizer's spatial gap grouping (G9): a >30-minute gap
+      // closes a session.
+      import org.apache.spark.sql.expressions.Window
+      val e = load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = e
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      gapped.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value")).as("total_value"))
+    }),
+
     // ---- text analysis over documents (oracle-checked) --------------------
     "q30_text_tokens" -> ((s, dir) => {
       val d = load(s, dir, "documents")
@@ -363,6 +403,24 @@ object SparkEntry {
         |      FROM (SELECT DISTINCT CAST(FLOOR(o_totalprice) AS BIGINT) AS k
         |            FROM orders) d) t
         |WHERE prev IS NOT NULL AND k - prev > 1""".stripMargin,
+    "q48_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  sum(value) AS total_value
+        |FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN prev_ts IS NULL
+        |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |    FROM (SELECT user_id, event_id, ts, value,
+        |            lag(ts) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) AS prev_ts
+        |          FROM events) a) b) c
+        |GROUP BY user_id, session_id""".stripMargin,
     "q30_text_tokens" ->
       """SELECT doc_id,
         |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
