@@ -39,10 +39,18 @@ object Bench {
   /** Extraction throughput on a fixed corpus (content independent of
     * parallelism): returns (turns, seconds). Generates inline. */
   def extractionThroughput(spark: SparkSession, nConvs: Long): (Long, Double) = {
+    import graft.fixtures.TranscriptGen
     import graft.pipeline.ExtractPipeline
     val par = spark.sparkContext.defaultParallelism * 4
     val turns = ExtractPipeline.transcripts(spark, nConvs, par)
-    timeExtraction(turns)
+    // generator source is already object-typed: use the fused object chain
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val totalTurns = turns.count()
+    val t0 = System.nanoTime()
+    val n = ExtractPipeline.modules(ExtractPipeline.extractTurns(turns, ctx)).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(n > 0)
+    (totalTurns, secs)
   }
 
   /** Extraction throughput over a materialized parquet corpus — the

@@ -108,7 +108,10 @@ object ExtractPipeline {
 
   /** Run the per-turn extractor over the transcript table. Shuffle-free;
     * projects to (conv_id, turn_idx, text) first so column pruning reaches
-    * the scan (role/tool/ts are never decoded). */
+    * the scan (role/tool/ts are never decoded). Use this for TABLE sources;
+    * for an already-object-typed source (e.g. the generator) use
+    * `extractTurns`, which keeps the whole chain in object space with no
+    * serialize/deserialize round-trip. */
   def extract(turns: Dataset[Turn], ctx: ModuleParser.Context): Dataset[TurnExtraction] = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -119,6 +122,19 @@ object ExtractPipeline {
         val c = bc.value
         it.map { case (conv, idx, text) => Extractor.extract(conv, idx, text, c) }
       }
+  }
+
+  /** Object-chain form: no projection, no encoder round-trip — adjacent
+    * typed operators fuse (EliminateSerialization). Prefer for in-memory /
+    * generated Dataset[Turn] sources. */
+  def extractTurns(turns: Dataset[Turn], ctx: ModuleParser.Context): Dataset[TurnExtraction] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ctx)
+    turns.mapPartitions { it =>
+      val c = bc.value
+      it.map(t => Extractor.extractTurn(t, c))
+    }
   }
 
   /** Extracted modules, un-deduplicated (one row per parsed module). */

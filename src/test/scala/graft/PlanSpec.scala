@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
       !readSchema.contains("ts"), s"unused columns must not be decoded: $readSchema")
   }
 
+  test("object-source extraction has no encoder round-trip (single serialize)") {
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val turns = ExtractPipeline.transcripts(spark, 50L, 4)
+    val p = ExtractPipeline.modules(ExtractPipeline.extractTurns(turns, ctx))
+      .queryExecution.executedPlan.toString
+    assert("SerializeFromObject".r.findAllIn(p).size == 1, p)
+    // results identical to the pruning (table-facing) path
+    val a = ExtractPipeline.modules(ExtractPipeline.extractTurns(turns, ctx)).collect().toSet
+    val b = ExtractPipeline.modules(ExtractPipeline.extract(turns, ctx)).collect().toSet
+    assert(a == b)
+  }
+
   test("dedup uses partial aggregation (map-side combine), not a window") {
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val turns = ExtractPipeline.transcripts(spark, 50L, 4)
