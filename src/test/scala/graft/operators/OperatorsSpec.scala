@@ -208,6 +208,43 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class SaltingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("salted count/sum equal the plain aggregates on a skewed key") {
+    // one mega key (80% of rows) + a long tail
+    val rows = (0 until 5000).map { i =>
+      val key = if (i % 5 != 0) "mega" else s"k${i % 97}"
+      (key, i.toLong, i * 0.5)
+    }
+    val df = rows.toDF("key", "fine", "value")
+    val plainC = df.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedC = Salting.saltedCount(df, col("key"), col("fine"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedC == plainC)
+    val plainS = df.groupBy("key").agg(sum("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedS = Salting.saltedSum(df, col("key"), col("value"), col("fine"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    plainS.foreach { case (k, v) => assert(math.abs(saltedS(k) - v) < 1e-6) }
+  }
+
+  test("salted join equals plain join on a skewed fact key") {
+    val fact = (0 until 2000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 11}", i))
+      .toDF("k", "fine")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("dk", "label")
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedJoin(fact, "k", col("fine"), dim, "dk")
+      .groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
+
 class IvfSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
