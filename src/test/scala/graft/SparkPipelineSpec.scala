@@ -74,6 +74,17 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(out.head.text_id == "AA")
   }
 
+  test("dedup idempotence: re-ingesting own output is a no-op") {
+    import spark.implicits._
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    val turns = ExtractPipeline.transcripts(spark, nConvs.toLong, 3)
+    val mods = ExtractPipeline.modules(ExtractPipeline.extract(turns, ctx))
+    val once = ExtractPipeline.dedupModules(mods).collect().map(_.toString).sorted
+    val twice = ExtractPipeline.dedupModules(mods.union(mods))
+      .collect().map(_.toString).sorted
+    assert(once.toSeq == twice.toSeq)
+  }
+
   test("anti-join resume prunes done turns") {
     import spark.implicits._
     val turns = ExtractPipeline.transcripts(spark, 4L, 2)
