@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Diagnostic/tuning JVM flags passthrough (e.g. -Xlog:gc, GC choice):
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

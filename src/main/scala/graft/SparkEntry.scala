@@ -323,6 +323,16 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    "q49_dedup_corpus" -> ((s, dir) => {
+      // end-to-end corpus dedup: exact collapse -> minhash pairs -> connected
+      // components -> one keeper per cluster
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val deduped = Dedup.dedupCorpus(withPlantedTextDups(base), "doc_id", "text",
+        threshold = 0.7)
+      deduped.agg(
+        count(lit(1)).as("docs_kept"),
+        sum(when(col("doc_id") >= 1000000L, 1).otherwise(0)).as("planted_kept"))
+    }),
     "q47_ann_ivf_topk" -> ((s, dir) => {
       val e = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

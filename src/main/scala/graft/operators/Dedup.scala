@@ -132,6 +132,56 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  // ---- near-dup clusters + corpus dedup ---------------------------------------
+
+  /** Connected components over a near-dup pair graph via iterative
+    * smallest-label propagation: every doc starts labeled with its own id;
+    * each round, a doc adopts the minimum label in its neighborhood;
+    * converges in O(log(longest chain)) rounds (near-dup clusters are
+    * shallow in practice). Each round is two shuffles (join + min-agg) on
+    * the PAIR set only — the full corpus is never re-shuffled.
+    * Returns (id, cluster_id = min doc id of the component). */
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .dropDuplicates("id_a", "id_b")
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var changedCount = 1L
+    var round = 0
+    while (changedCount > 0 && round < maxRounds) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("new_cluster_id"),
+          col("cluster_id"))
+        .cache()
+      changedCount = updated.filter(col("new_cluster_id") =!= col("cluster_id")).count()
+      labels = updated.select(col("id"), col("new_cluster_id").as("cluster_id"))
+      round += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact groups collapse first (cheap), then
+    * MinHash near-dup pairs cluster via connected components; one keeper
+    * (min id) survives per cluster. Returns the deduplicated corpus. */
+  def dedupCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val exact = exactDedup(docs, idCol, textCol)
+    val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.filter(col("cluster_id") =!= col("id")).select(col("id"))
+    exact.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   // ---- embedding cosine near-dup ---------------------------------------------
 
   /** Cosine similarity of two numeric-array columns: the native fused

@@ -143,6 +143,32 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - trueJaccard("a b c d e f", "a b c d e zz")) < 1e-12)
   }
 
+  test("connected components: chains collapse to the min id") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus: exact + near-dup clusters leave one keeper per cluster") {
+    val base = corpus(20)
+    val all = planted(base) // near-dups at +1000
+      .union(base.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text"))) // exact dup of 0
+    val deduped = Dedup.dedupCorpus(all, "doc_id", "text", threshold = 0.6)
+    val kept = deduped.collect().map(_.getAs[Long]("doc_id")).toSet
+    // exact dup of doc 0 must be gone
+    assert(!kept.contains(5000L))
+    // planted near-dups: the keeper is the original (min id)
+    assert(kept.contains(0L))
+    val survivors = kept.count(_ >= 1000L)
+    // most planted copies are deduped away (banding recall < 1 tolerated)
+    assert(survivors <= 4, s"too many planted survivors: $survivors")
+  }
+
   test("embedding near-dups find planted perturbed vectors") {
     val vecs = (0 until 60).map { i =>
       val rng = new scala.util.Random(i)
