@@ -93,7 +93,7 @@ object Blocker {
 
   /** Separator line test over a range: trimmed, ≥3 chars, all '=' or '-'
     * (same semantics as the regex `^[=\-]{3,}$` on the trimmed line). */
-  private def isSeparatorRange(text: String, lo0: Int, hi0: Int): Boolean = {
+  private[core] def isSeparatorRange(text: String, lo0: Int, hi0: Int): Boolean = {
     var lo = lo0
     var hi = hi0
     while (lo < hi && text.charAt(lo) <= ' ') lo += 1

@@ -18,7 +18,13 @@ object Extractor {
     * the Spark pipeline projects before the scan so role/tool/ts are never
     * decoded. */
   def extract(convId: String, turnIdx: Int, text0: String,
-      ctx: ModuleParser.Context): TurnExtraction = {
+      ctx: ModuleParser.Context): TurnExtraction =
+    extract(convId, turnIdx, text0, ctx, new Tokenizer.Scratch)
+
+  /** Scratch-buffer form for hot partition loops: pass one thread-confined
+    * Scratch per mapPartitions invocation; buffers are reused across turns. */
+  def extract(convId: String, turnIdx: Int, text0: String,
+      ctx: ModuleParser.Context, scratch: Tokenizer.Scratch): TurnExtraction = {
     // canonicalize first (the deskew/binarize analog): all downstream span
     // offsets are coordinates in the canonical text
     val text = Normalizer.canonicalize(text0)
@@ -55,10 +61,9 @@ object Extractor {
             var ci = lb.start
             while (ci < lb.end) { if (text.charAt(ci) != ' ') payloadChars += 1; ci += 1 }
             if (payloadChars >= Tokenizer.MinRowChars &&
-                !Blocker.isSeparator(text.substring(lb.start, lb.end))) {
+                !Blocker.isSeparatorRange(text, lb.start, lb.end)) {
               rowsTokenized += 1
-              val row = Tokenizer.rowStringRange(text, lb.start, lb.end, lb.start)
-              val slices = Tokenizer.sliceRow(row)
+              val slices = Tokenizer.tokenizeRow(text, lb.start, lb.end, lb.start, scratch)
               if (slices.length > ModuleParser.MaxModulesPerRow) {
                 // Row cap — diary_module_parser.py:122-124.
                 errors += ExtractionError(

@@ -89,6 +89,78 @@ object Tokenizer {
 
   final case class ModuleSlice(ordinal: Int, str: String, span: Span)
 
+  /** Reusable per-partition scratch buffers for the fused tokenize+slice
+    * path. Thread-confined: create one per mapPartitions invocation. */
+  final class Scratch {
+    var buf: Array[Char] = new Array[Char](256)
+    var offs: Array[Int] = new Array[Int](256)
+    def ensure(n: Int): Unit =
+      if (buf.length < n) {
+        val cap = math.max(n, buf.length * 2)
+        buf = new Array[Char](cap)
+        offs = new Array[Int](cap)
+      }
+  }
+
+  /** Fused tokenize+slice: identical semantics to
+    * `sliceRow(rowStringRange(...))` but writes into reusable scratch
+    * buffers — the only allocations that escape are the ModuleSlice vector,
+    * the per-module strings, and their spans. */
+  def tokenizeRow(text: String, lo: Int, hi: Int, offsetBase: Int,
+      scratch: Scratch): Vector[ModuleSlice] = {
+    val n = hi - lo
+    scratch.ensure(n + Stride + 1)
+    val buf = scratch.buf
+    val offs = scratch.offs
+    var len = 0
+    var i = lo
+    while (i < hi) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        var j = i
+        while (j < hi && text.charAt(j) == ' ') j += 1
+        val gap = j - i
+        if (gap > GapUnit) {
+          var k = 0
+          val placeholders = gap / GapUnit
+          while (k < placeholders) {
+            buf(len) = ModuleParser.SpaceChar; offs(len) = -1; len += 1; k += 1
+          }
+        }
+        i = j
+      } else {
+        buf(len) = c; offs(len) = offsetBase + (i - lo); len += 1; i += 1
+      }
+    }
+    if (len < PadBelow) {
+      val missing = Stride - (len % Stride)
+      var k = 0
+      while (k < missing) {
+        buf(len) = ModuleParser.SpaceChar; offs(len) = -1; len += 1; k += 1
+      }
+    }
+    if (len == 0) return Vector.empty
+    val numModules = (len + Stride - 1) / Stride
+    val out = Vector.newBuilder[ModuleSlice]
+    var m = 0
+    while (m < numModules) {
+      val init = m * Stride
+      val stop = math.min(init + ModuleWidth, len)
+      var sLo = Int.MaxValue
+      var sHi = -1
+      var p = init
+      while (p < stop) {
+        val o = offs(p)
+        if (o >= 0) { if (o < sLo) sLo = o; if (o + 1 > sHi) sHi = o + 1 }
+        p += 1
+      }
+      val span = if (sHi < 0) Span(-1, -1) else Span(sLo, sHi)
+      out += ModuleSlice(m, new String(buf, init, stop - init), span)
+      m += 1
+    }
+    out.result()
+  }
+
   /** Fixed-stride slicing with span reconstruction (diary_ocr.py:267-277). */
   def sliceRow(row: RowString): Vector[ModuleSlice] = {
     val len = row.chars.length

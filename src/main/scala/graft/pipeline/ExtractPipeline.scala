@@ -120,7 +120,8 @@ object ExtractPipeline {
       .as[(String, Int, String)]
       .mapPartitions { it =>
         val c = bc.value
-        it.map { case (conv, idx, text) => Extractor.extract(conv, idx, text, c) }
+        val scratch = new graft.core.Tokenizer.Scratch // one per partition
+        it.map { case (conv, idx, text) => Extractor.extract(conv, idx, text, c, scratch) }
       }
   }
 
@@ -133,7 +134,8 @@ object ExtractPipeline {
     val bc = spark.sparkContext.broadcast(ctx)
     turns.mapPartitions { it =>
       val c = bc.value
-      it.map(t => Extractor.extractTurn(t, c))
+      val scratch = new graft.core.Tokenizer.Scratch
+      it.map(t => Extractor.extract(t.conv_id, t.turn_idx, t.text, c, scratch))
     }
   }
 

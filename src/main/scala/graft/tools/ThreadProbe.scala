@@ -20,12 +20,14 @@ object ThreadProbe {
           var c = t.toLong
           var local = 0L
           var turns = 0L
+          val scratch = new Tokenizer.Scratch // one per thread
           while (c < nConvs) {
             val n = TranscriptGen.turnsPerConv(nConvs, c)
             var i = 0
             while (i < n) {
               val turn = TranscriptGen.turn(TranscriptGen.DefaultSeed, nConvs, c, i)
-              local += Extractor.extractTurn(turn, ctx).modules.size
+              local += Extractor.extract(turn.conv_id, turn.turn_idx, turn.text,
+                ctx, scratch).modules.size
               turns += 1
               i += 1
             }
