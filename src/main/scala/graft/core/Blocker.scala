@@ -12,7 +12,9 @@ package graft.core
   * separator lines split header from content (is_separation_diary_row analog,
   * diary_structure_detector.py:148-152), and each block is scored with
   * text-density / link-density / size features standing in for the area and
-  * aspect-ratio predicates.
+  * aspect-ratio predicates. The density heuristic family follows the
+  * published boilerplate-removal literature (Kohlschütter et al.,
+  * "Boilerplate detection using shallow text features", WSDM 2010).
   *
   * Allocation discipline: blocks carry line OFFSETS into the original turn
   * text; no per-line substrings are created during split/classify, and

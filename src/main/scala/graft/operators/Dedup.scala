@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 /** Deduplication family for a training-data pipeline: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
   *
+  * Algorithms are the published standards: MinHash resemblance sketching
+  * (Broder, "On the resemblance and containment of documents", SEQUENCES
+  * 1997) with banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3), SimHash (Charikar, "Similarity estimation techniques
+  * from rounding algorithms", STOC 2002) with the Hamming-pigeonhole
+  * bucketing of Manku/Jain/Das Sarma (WWW 2007).
+  *
   * Scale design: every near-dup variant is **candidate generation by
   * bucketing (banded LSH) + exact verification within buckets** — never an
   * all-pairs cross join. The only shuffles are groupBy(bucket) with map-side
