@@ -46,20 +46,27 @@ object ExtractJob {
     println(s"[job] buckets processed this run: ${results.size}" +
       s" (skipped ${buckets - results.size} committed)")
 
-    // 2. entity upsert against the seeded dimension, conflicts surfaced
+    // 2-4 share ONE extraction pass: headers are tiny (one per conversation)
+    // so the incoming entity set is collected once and reused; metrics come
+    // from the same cached pass.
     val ex = ExtractPipeline.extract(turns, ctx)
-    val incoming = ExtractPipeline.headerEntities(ex)
-    val merge = EntityMerge.merge(ExtractPipeline.entityDim(spark), incoming)
-    merge.conflicts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/entity_conflicts")
-    merge.merged.write.mode(SaveMode.Overwrite).parquet(s"$outDir/entities")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 2. entity upsert against the seeded dimension, conflicts surfaced
+      val incoming = ExtractPipeline.dedupEntities(ExtractPipeline.headerEntities(ex))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merge = EntityMerge.merge(ExtractPipeline.entityDim(spark), incoming)
+      merge.conflicts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/entity_conflicts")
+      merge.merged.write.mode(SaveMode.Overwrite).parquet(s"$outDir/entities")
 
-    // 3. per-partition lineage metrics table
-    ExtractPipeline.partitionMetrics(ex).toDF()
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
+      // 3. per-partition lineage metrics table
+      ExtractPipeline.partitionMetrics(ex).toDF()
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
 
-    // 4. blessed CSV of the extracted entity registers (fixture format)
-    CsvSinks.writeEntityCsv(
-      ExtractPipeline.dedupEntities(incoming), s"$outDir/entities.csv")
+      // 4. blessed CSV of the extracted entity registers (fixture format)
+      CsvSinks.writeEntityCsv(incoming, s"$outDir/entities.csv")
+      incoming.unpersist()
+    } finally ex.unpersist()
 
     val mods = ResumableExtract.readModules(spark, outDir).count()
     println(s"[job] done: $mods modules committed under $outDir")

@@ -56,6 +56,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       shingleK: Int = 3): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature size k ($k) — " +
+        "otherwise trailing permutations would be silently unused")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
@@ -115,6 +118,7 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
     val chunks = maxDist + 1
     val width = 64 / chunks
     val spark = docs.sparkSession
@@ -123,9 +127,13 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, HashCore.simhash(text)) })
       .toDF("id", "sh")
+    // the LAST chunk absorbs the 64 % chunks remainder bits so every bit of
+    // the hash participates in exactly one bucket key
     val chunkKeys = array((0 until chunks).map { c =>
-      shiftrightunsigned(col("sh"), c * width)
-        .bitwiseAND(lit((1L << width) - 1))
+      val lo = c * width
+      val bits = if (c == chunks - 1) 64 - lo else width
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1
+      shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
     }: _*)
     val banded = sh.select(col("id"), col("sh"),
       posexplode(chunkKeys).as(Seq("chunk", "key")))
@@ -143,18 +151,25 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph via iterative
     * smallest-label propagation: every doc starts labeled with its own id;
-    * each round, a doc adopts the minimum label in its neighborhood;
-    * converges in O(log(longest chain)) rounds (near-dup clusters are
-    * shallow in practice). Each round is two shuffles (join + min-agg) on
-    * the PAIR set only — the full corpus is never re-shuffled.
+    * each round, a doc adopts the minimum label in its neighborhood. The
+    * minimum travels ONE HOP per round, so convergence is O(component
+    * diameter) — shallow for near-dup clusters, but NOT logarithmic; the
+    * loop therefore runs until a fixed point and THROWS if `maxRounds` is
+    * hit while labels are still changing (silent non-convergence would
+    * leave duplicate keepers). Each round is two shuffles (join + min-agg)
+    * on the PAIR set only — the full corpus is never re-shuffled.
     * Returns (id, cluster_id = min doc id of the component). */
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .dropDuplicates("id_a", "id_b")
       .cache()
+    // localCheckpoint each round: iterative self-joins otherwise grow the
+    // logical plan exponentially (lineage doubles per round) — the plan
+    // itself OOMs long before the data does
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
     var changedCount = 1L
     var round = 0
     while (changedCount > 0 && round < maxRounds) {
@@ -168,11 +183,15 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("new_cluster_id"),
           col("cluster_id"))
-        .cache()
+        .localCheckpoint() // eager: truncates lineage, materializes once
       changedCount = updated.filter(col("new_cluster_id") =!= col("cluster_id")).count()
       labels = updated.select(col("id"), col("new_cluster_id").as("cluster_id"))
       round += 1
     }
+    if (changedCount > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxRounds rounds " +
+          s"($changedCount labels still changing) — raise maxRounds")
     labels
   }
 
@@ -211,9 +230,10 @@ object Dedup {
   }
 
   /** Embedding near-dups above `threshold` cosine, bucketed by random-
-    * hyperplane LSH signs (nBits planes, deterministic seed): candidate pairs
-    * share the full sign signature OR any of its `probes` single-bit flips
-    * (multi-probe improves recall near the planes). Verified exactly. */
+    * hyperplane LSH signs (nBits planes, deterministic seed): candidate
+    * pairs share the exact sign signature or differ in at most ONE bit
+    * (multi-probe radius 1 — recovers near-identical vectors that straddle
+    * a single plane). Verified exactly with the native cosine. */
   def embeddingNearDups(
       vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
@@ -221,9 +241,15 @@ object Dedup {
     val sigCol = Similarity.signSignature(col(vecCol), planes)
     val sig = vecs.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig"))
     val a = sig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    // one side explodes its signature + all single-bit flips: an exact join
+    // then matches every pair within Hamming distance 1 of the signatures
+    val probeSigs = array(col("sig0") +:
+      (0 until nBits).map(b => col("sig0").bitwiseXOR(lit(1L << b))): _*)
+    val b = sig.withColumnRenamed("sig", "sig0")
+      .select(col("id").as("id_b"), col("v").as("v_b"), explode(probeSigs).as("sig"))
     a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -184,7 +184,10 @@ object ExtractPipeline {
   }
 
   /** First-wins entity dedup by num_id (add_register semantics,
-    * /root/reference/src/annuary/annuary_data.py:91-96). */
+    * /root/reference/src/annuary/annuary_data.py:91-96). The winner is
+    * chosen by a TOTAL order over all fields — never by arrival order — so
+    * the survivor is identical at any parallelism even when two candidates
+    * tie on a prefix of the fields. */
   def dedupEntities(ents: Dataset[EntityRegister]): Dataset[EntityRegister] = {
     val spark = ents.sparkSession
     import spark.implicits._
@@ -193,8 +196,11 @@ object ExtractPipeline {
       .map(_._2)
   }
   private def lt(a: EntityRegister, b: EntityRegister): Boolean = {
-    val c = a.text_id.compareTo(b.text_id)
-    if (c != 0) c < 0 else a.name.compareTo(b.name) < 0
+    var c = a.text_id.compareTo(b.text_id)
+    if (c == 0) c = a.name.compareTo(b.name)
+    if (c == 0) c = a.kind.compareTo(b.kind)
+    if (c == 0) c = a.info.compareTo(b.info)
+    c < 0
   }
 
   // ---- ordered sinks (O4) ----------------------------------------------------

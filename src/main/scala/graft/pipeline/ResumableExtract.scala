@@ -54,22 +54,30 @@ object ResumableExtract {
     val todo = (0 until buckets).filterNot(done)
 
     todo.map { b =>
-      // partition-level resume prune: only this bucket's conversations scan
+      // Partition-level resume prune: only this bucket's conversations pass.
+      // At deployment the input is an Iceberg table bucket-partitioned on
+      // hash(conv_id), so this filter prunes at the FILE level; on plain
+      // parquet it degrades to a full scan per bucket (trade-off accepted
+      // for bucket-granular resume — lower `buckets` to amortize).
       val bucketTurns = turns.filter(bucketOf(col("conv_id"), buckets) === b)
+      // one extraction pass per bucket: cache the extraction, derive
+      // modules + errors + turn count from it
       val ex = ExtractPipeline.extract(bucketTurns, ctx)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val turnCount = ex.count()
+        val modules = ExtractPipeline.dedupModules(ExtractPipeline.modules(ex))
+        val errors = ExtractPipeline.errors(ex)
 
-      val modules = ExtractPipeline.dedupModules(ExtractPipeline.modules(ex))
-      val errors = ExtractPipeline.errors(ex)
+        val modCount = writeBucket(modules, s"$outDir/modules", b)
+        val errCount = writeBucket(errors.toDF(), s"$outDir/errors", b)
 
-      val modCount = writeBucket(modules, s"$outDir/modules", b)
-      val errCount = writeBucket(errors.toDF(), s"$outDir/errors", b)
-      val turnCount = bucketTurns.count()
-
-      // commit: the manifest row lands only after the bucket's data
-      val json =
-        s"""{"bucket":$b,"turns":$turnCount,"modules":$modCount,"errors":$errCount,"watermark":"complete"}"""
-      Files.writeString(manifestPath(outDir, b), json)
-      BucketResult(b, turnCount, modCount, errCount)
+        // commit: the manifest row lands only after the bucket's data
+        val json =
+          s"""{"bucket":$b,"turns":$turnCount,"modules":$modCount,"errors":$errCount,"watermark":"complete"}"""
+        Files.writeString(manifestPath(outDir, b), json)
+        BucketResult(b, turnCount, modCount, errCount)
+      } finally ex.unpersist()
     }
   }
 

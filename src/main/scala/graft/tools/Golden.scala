@@ -19,7 +19,8 @@ object Golden {
     exs.foreach { case (_, ex) =>
       ex.modules.foreach { m =>
         lines += List("M", m.conv_id, m.turn_idx, m.block_ordinal, m.row_ordinal,
-          m.module_ordinal, m.module_type, m.zones.mkString(","), m.module_str,
+          m.module_ordinal, m.module_type,
+          m.zones.map(esc).mkString(","), esc(m.module_str),
           m.span_start, m.span_end).mkString("|")
       }
       ex.entities.foreach { e =>

@@ -74,6 +74,18 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(out.head.text_id == "AA")
   }
 
+  test("entity dedup ties on (text_id, name) resolve by the full total order") {
+    import spark.implicits._
+    // same text_id/name/kind, differing info: winner must be the min info,
+    // at any partition/arrival order
+    val a = EntityRegister(9, "AA", "SAME", "person", "(Q9)")
+    val b = EntityRegister(9, "AA", "SAME", "person", "(Q1)")
+    val r1 = ExtractPipeline.dedupEntities(Seq(a, b).toDS().repartition(4)).collect()
+    val r2 = ExtractPipeline.dedupEntities(Seq(b, a).toDS().repartition(2)).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.head.info == "(Q1)")
+  }
+
   test("dedup idempotence: re-ingesting own output is a no-op") {
     import spark.implicits._
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)

@@ -143,6 +143,31 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - trueJaccard("a b c d e f", "a b c d e zz")) < 1e-12)
   }
 
+  test("connected components: a long chain converges (O(diameter) rounds)") {
+    // chain 15-14-13-...-1: min label must travel 14 hops
+    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet == Set(1L))
+  }
+
+  test("minhash rejects bands that do not divide k (silent lane loss)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(docs, "doc_id", "text", k = 60, bands = 16)
+    }
+  }
+
+  test("simhash rejects maxDist outside [1,31]; remainder bits bucket correctly") {
+    val docs = planted(corpus(10))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 0)
+    }
+    // maxDist=2 -> 3 chunks of 21/21/22 bits: must run and respect the bound
+    val rows = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 2).collect()
+    rows.foreach(r => assert(r.getAs[Number]("dist").longValue <= 2))
+  }
+
   test("connected components: chains collapse to the min id") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
@@ -312,6 +337,15 @@ class IvfSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
+
+  test("empty and null document texts synthesize valid media") {
+    val docs = Seq((0L, ""), (1L, null.asInstanceOf[String]), (2L, "ok"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.decodeStub(Multimodal.synthesizeMedia(docs, spark))
+      .collect()
+    assert(feats.length == 3)
+    feats.foreach(f => assert(f.n_bytes >= 256))
+  }
 
   test("binary plumbing: schema, determinism, batched decode stub") {
     val docs = Seq((0L, "alpha bravo"), (1L, "charlie delta"), (2L, "echo fox"))
