@@ -86,6 +86,12 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(r1.head.info == "(Q1)")
   }
 
+  test("driver contract: entry() returns rows and every query has a runner") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key refers to an existing query
+    SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
+  }
+
   test("dedup idempotence: re-ingesting own output is a no-op") {
     import spark.implicits._
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
