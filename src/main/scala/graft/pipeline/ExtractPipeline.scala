@@ -206,12 +206,22 @@ object ExtractPipeline {
   // ---- ordered sinks (O4) ----------------------------------------------------
 
   /** Globally ordered output without a hot-key window: range partitioning
-    * splits mega-conversations across tasks while keeping global order. */
-  def ordered(df: DataFrame): DataFrame =
-    df.repartitionByRange(col("conv_id"), col("turn_idx"), col("block_ordinal"),
+    * splits mega-conversations across tasks while keeping global order.
+    *
+    * `repartitionByRange` runs a SAMPLING job over its input to pick range
+    * bounds — an expensive upstream (extract + dedup) would execute twice.
+    * The input is therefore persisted for the duration of the sort; callers
+    * consume the result eagerly (fixture sinks), after which the executor
+    * cache is dropped naturally with the session. At petabyte scale the
+    * fixture-mode global sort is not used at all — ResumableExtract's
+    * bucketed, sorted-within-bucket output is the scale sink. */
+  def ordered(df: DataFrame): DataFrame = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.repartitionByRange(col("conv_id"), col("turn_idx"), col("block_ordinal"),
         col("row_ordinal"), col("module_ordinal"))
       .sortWithinPartitions("conv_id", "turn_idx", "block_ordinal",
         "row_ordinal", "module_ordinal")
+  }
 
   // ---- resume (J4) -----------------------------------------------------------
 
