@@ -40,6 +40,58 @@ object SparkEntry {
     ExtractPipeline.extract(turns, ctx)
   }
 
+  /** Plant near-identical embeddings: a perturbed copy of every vector, ids
+    * offset by 1,000,000 — ground-truth near-dup pairs for q43. */
+  def withPlantedEmbDups(base: DataFrame): DataFrame = {
+    val planted = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * 0.99f + 0.003f).as("embedding"))
+    base.union(planted)
+  }
+
+  /** q28's skip-rule fixed point, shared with the Verify materializations
+    * (ext_errors_after / skip_rules must describe the SAME run the q28
+    * result aggregates). Rule derivation is distributed
+    * (ExtractPipeline.deriveSkipRules) — raw error rows are never collected.
+    * Cached per (session, sfDir): the loop re-extracts up to 4×. */
+  private val skipOutcomeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (org.apache.spark.sql.Dataset[ExtractionError],
+       org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])]()
+
+  def skipRuleOutcome(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[ExtractionError],
+         org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule]) =
+    skipOutcomeCache.computeIfAbsent((s, dir), { _ =>
+      val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
+        s.sparkContext.defaultParallelism)
+      val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ctx0 = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+      val firstErrors = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx0))
+        .persist(storage)
+      var rules = Set.empty[SkipRule]
+      var lastErrors = firstErrors
+      var changed = true
+      var iter = 0
+      while (changed && iter < 4) {
+        val (derived, overflowed) = ExtractPipeline.deriveSkipRules(lastErrors)
+        if (overflowed)
+          System.err.println(
+            "[q28] skip-rule cap hit — rules beyond the cap were dropped this round")
+        val fresh = derived -- rules
+        changed = fresh.nonEmpty
+        if (changed) {
+          rules ++= fresh
+          val ctx1 = new ModuleParser.Context(TranscriptGen.allEntityIds.contains, rules)
+          val next = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx1))
+            .persist(storage)
+          if (lastErrors ne firstErrors) lastErrors.unpersist()
+          lastErrors = next
+        }
+        iter += 1
+      }
+      (firstErrors, lastErrors, rules)
+    })
+
   /** Flagship query on sf=0.001-equivalent synthetic transcripts; driver
     * smoke-checks rows>0: the deduped, ordered extracted-module table. */
   def entry(spark: SparkSession): DataFrame = {
@@ -98,17 +150,13 @@ object SparkEntry {
           col("first.event_type").as("event_type"), col("first.value").as("value"))
     }),
     "q07_window_gap_audit" -> ((s, dir) => {
-      // O5 analog (annuary_data.py:81-89): missing-id gap detection via lag
-      // over the sorted key space (keys bucketed so gaps exist at any sf).
-      import org.apache.spark.sql.expressions.Window
-      val keys = load(s, dir, "orders")
-        .select(floor(col("o_totalprice")).cast("long").as("k"))
-        .distinct()
-      val w = Window.orderBy(col("k"))
-      keys.withColumn("prev", lag(col("k"), 1).over(w))
-        .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
-        .select(col("prev").as("gap_start"), col("k").as("gap_end"),
-          (col("k") - col("prev") - 1).as("missing"))
+      // O5 analog (annuary_data.py:81-89): missing-id gap detection. Served
+      // by the scale-safe two-phase audit — the historical Window.orderBy
+      // (single-task) form is retired from the shipped surface and lives in
+      // OperatorsSpec as the differential oracle for GapAudit.gaps.
+      graft.operators.GapAudit.gaps(
+        load(s, dir, "orders").select(floor(col("o_totalprice")).cast("long").as("k")),
+        "k").orderBy(col("gap_start"))
     }),
     "q08_topk_per_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -175,60 +223,34 @@ object SparkEntry {
       // X4 analog: a skip-rules config table downgrades tolerated zone
       // failures to keep-the-raw-string, exactly like the reference's
       // interactive SKIP protocol (diary_module_parser.py:170-181).
-      // Derive rules from the first run's zone errors, re-run, compare.
-      val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
-        s.sparkContext.defaultParallelism)
-      val ctx0 = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
-      val firstErrors = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx0))
-      // zone-level codes are skippable; type/row-level ones are not
-      val skippable = Set(ErrorCode.InvalidValueOnZone, ErrorCode.BadYear,
-        ErrorCode.BadNumId, ErrorCode.NoEntityRegister, ErrorCode.BadZoneString)
-      // iterate to fixed point, like the reference user repeatedly SKIPping
-      // until the row parses (diary_ocr.py:279-311)
-      var rules = Set.empty[SkipRule]
-      var lastErrors = firstErrors
-      var changed = true
-      var iter = 0
-      while (changed && iter < 4) {
-        val fresh = lastErrors
-          .filter(e => skippable.contains(e.code) && e.module_ordinal >= 0)
-          .collect()
-          .map(e => SkipRule(e.module_ordinal, e.zone_catalog, e.zone_str))
-          .toSet -- rules
-        changed = fresh.nonEmpty
-        if (changed) {
-          rules ++= fresh
-          val ctx1 = new ModuleParser.Context(TranscriptGen.allEntityIds.contains, rules)
-          lastErrors = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx1))
-        }
-        iter += 1
-      }
+      // Rule derivation is DISTRIBUTED (distinct skippable triples with an
+      // explicit cap — ExtractPipeline.deriveSkipRules); only the tiny rule
+      // set is ever collected, never raw error rows. The fixed-point loop
+      // stays (a skipped zone can surface new errors in later zones of the
+      // same module, so the reference iterates too) but is driven from the
+      // distinct-triple table each round.
+      val (firstErrors, lastErrors, rules) = skipRuleOutcome(s, dir)
       val before = firstErrors.groupBy(col("code")).count()
         .withColumnRenamed("count", "errors_before")
       val after = lastErrors
         .groupBy(col("code")).count().withColumnRenamed("count", "errors_after")
       before.join(after, Seq("code"), "left")
         .na.fill(0, Seq("errors_after"))
-        .withColumn("skip_rules", lit(rules.size))
+        .withColumn("skip_rules", lit(rules.size).cast("long"))
     }),
 
     "q29_conversation_text" -> ((s, dir) => {
       // stable intra-conversation reassembly (north rule): clean turn texts
-      // concatenated in turn_idx order per conversation. Implemented as
-      // sort_array(collect_list(struct(turn_idx, text))) — partial-agg
-      // friendly (no hot-key window); mega-conversations aggregate
-      // map-side first.
+      // concatenated in turn_idx order per conversation. Bounded-memory
+      // two-phase form (ExtractPipeline.conversationText): the old
+      // sort_array(collect_list(every turn)) buffered an entire
+      // mega-conversation in one aggregation state; now the per-task state
+      // is one partition's StringBuilder + one segment row per partition a
+      // conversation spans.
       val ex = runExtraction(s, dir)
-      ExtractPipeline.cleanTurns(ex).toDF()
-        .filter(length(col("clean_text")) > 0)
-        .groupBy(col("conv_id"))
-        .agg(
-          count(lit(1)).as("prose_turns"),
-          concat_ws("\n\n",
-            transform(
-              sort_array(collect_list(struct(col("turn_idx"), col("clean_text")))),
-              x => x.getField("clean_text"))).as("conversation_text"))
-        .withColumn("n_chars", length(col("conversation_text")))
+      ExtractPipeline.conversationText(
+        ExtractPipeline.cleanTurns(ex).toDF()
+          .filter(length(col("clean_text")) > 0))
     }),
     "q48_sessionize" -> ((s, dir) => {
       // gap-based sessionization over the events stream table — the temporal
@@ -293,10 +315,9 @@ object SparkEntry {
       Dedup.simhashNearDups(withPlantedTextDups(base), "doc_id", "text", maxDist = 6)
     }),
     "q43_dedup_embedding" -> ((s, dir) => {
-      val base = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = base.select((col("vec_id") + 1000000).as("vec_id"),
-        transform(col("embedding"), x => x * 0.99f + 0.003f).as("embedding"))
-      Dedup.embeddingNearDups(base.union(planted), "vec_id", "embedding",
+      val corpus = withPlantedEmbDups(
+        load(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
         dim = 64, threshold = 0.98)
         .withColumn("cos", round(col("cos"), 6))
     }),
@@ -344,14 +365,16 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
-    // ---- multimodal plumbing (decode stubbed; schema/batching real) --------
+    // ---- multimodal (image decode REAL via javax.imageio; a/v stubbed) -----
     "q46_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(load(s, dir, "documents"), s)
-      Multimodal.decodeStub(media).toDF()
+      Multimodal.decode(media).toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
+          sum(when(col("decoded"), 1).otherwise(0)).as("n_decoded"),
           sum(col("n_bytes")).as("total_bytes"),
-          round(avg(col("byte_entropy")), 4).as("avg_entropy"),
+          round(avg(col("entropy")), 4).as("avg_entropy"),
+          sum(col("width").cast("long")).as("total_px_width"),
           sum(col("frames_sampled")).as("frames_sampled"))
     }),
 
@@ -364,8 +387,91 @@ object SparkEntry {
     })
   )
 
+  // ---- oracle-side materializations -----------------------------------------
+
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    withPlantedTextDups(load(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  private def annQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** Side tables Verify writes under `<outDir>/_tables/<name>` (parquet) so
+    * the DuckDB oracle can independently re-check the RELATIONAL stages of
+    * the non-SQL pipelines: extraction output feeds SQL dedup / group-by /
+    * gap / reassembly oracles, candidate-pair tables feed SQL
+    * Jaccard/Hamming/cosine verify + top-k re-rank oracles. Everything here
+    * is deterministic (seeded generator, deterministic LSH planes), so a
+    * query and its materialization compute identical intermediate data. */
+  def materializations: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_modules" -> ((s, dir) =>
+      ExtractPipeline.modules(runExtraction(s, dir)).toDF()
+        .withColumn("module",
+          concat_ws("|", col("module_type"), concat_ws("|", col("zones"))))),
+    "ext_clean" -> ((s, dir) =>
+      ExtractPipeline.cleanTurns(runExtraction(s, dir)).toDF().drop("spans")),
+    "ext_errors" -> ((s, dir) =>
+      ExtractPipeline.errors(runExtraction(s, dir)).toDF()),
+    "ext_entities" -> ((s, dir) =>
+      ExtractPipeline.headerEntities(runExtraction(s, dir)).toDF()),
+    "ext_errors_after" -> ((s, dir) => skipRuleOutcome(s, dir)._2.toDF()),
+    "skip_rules" -> ((s, dir) => {
+      import s.implicits._
+      skipRuleOutcome(s, dir)._3.toSeq
+        .sortBy(r => (r.module_ordinal, r.zone_catalog, r.zone_str)).toDF()
+    }),
+    "dim_layout" -> ((s, _) => ExtractPipeline.layoutDim(s)),
+    "dim_catalogs" -> ((s, _) => ExtractPipeline.catalogDim(s)),
+    "docs_planted" -> ((s, dir) => plantedDocs(s, dir)),
+    "minhash_cands" -> ((s, dir) =>
+      Dedup.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")),
+    "simhash_sigs" -> ((s, dir) =>
+      Dedup.simhashSignatures(plantedDocs(s, dir), "doc_id", "text")),
+    "simhash_cands" -> ((s, dir) =>
+      Dedup.simhashCandidates(
+        Dedup.simhashSignatures(plantedDocs(s, dir), "doc_id", "text"), maxDist = 6)
+        .select("id_a", "id_b")),
+    "emb_planted" -> ((s, dir) => withPlantedEmbDups(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")))),
+    "emb_cands" -> ((s, dir) =>
+      Dedup.embeddingCandidates(
+        withPlantedEmbDups(
+          load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+        "vec_id", "embedding", dim = 64)
+        .select("id_a", "id_b")),
+    "ann_lsh_cands" -> ((s, dir) => {
+      val e = embCorpus(s, dir)
+      Similarity.lshCandidates(e, "vec_id", "embedding", annQueries(e), "qid", "qv",
+        dim = 64, nBits = 6).select("query_id", "id")
+    }),
+    "ann_ivf_cands" -> ((s, dir) => {
+      val e = embCorpus(s, dir)
+      val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 8)
+      graft.operators.Ivf.candidates(e, "vec_id", "embedding",
+        annQueries(e), "qid", "qv", model, probes = 4).select("query_id", "id")
+    }),
+    "media_features" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.synthesizeMedia(load(s, dir, "documents"), s))
+        .toDF()),
+    "corpus_keepers" -> ((s, dir) =>
+      Dedup.dedupCorpus(plantedDocs(s, dir), "doc_id", "text", threshold = 0.7)
+        .select("doc_id"))
+  )
+
+  /** A materialized side table (see `materializations`) as a DuckDB
+    * read_parquet reference. `{OUT}` is substituted by Verify with the
+    * actual output directory at dump time. */
+  private def t(name: String): String =
+    s"read_parquet('{OUT}/_tables/$name/*.parquet')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables (driver-registered sf tables like `lineitem`,
+    * plus the `materializations` side tables via read_parquet). Omit for
+    * non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -496,6 +602,162 @@ object SparkEntry {
         |        c.vec_id) AS rank
         |  FROM embeddings c, embeddings q
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) t
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // ---- extraction family: SQL over the materialized extraction output ----
+    "q20_extract_modules" ->
+      s"""SELECT conv_id, turn_idx, block_ordinal, row_ordinal, module_ordinal,
+         |  module_type, array_to_string(zones, '|') AS zones, module_str,
+         |  span_start, span_end, module
+         |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, module
+         |    ORDER BY turn_idx, block_ordinal, row_ordinal, module_ordinal) AS rn
+         |  FROM ${t("ext_modules")}) d
+         |WHERE rn = 1""".stripMargin,
+    "q21_extract_clean_text" ->
+      s"""SELECT conv_id, turn_idx, clean_text, n_blocks_total, n_blocks_kept
+         |FROM ${t("ext_clean")} WHERE length(clean_text) > 0""".stripMargin,
+    "q22_extract_errors" ->
+      s"""SELECT code, count(*) AS count FROM ${t("ext_errors")} GROUP BY code""",
+    "q23_extract_entities" ->
+      s"""SELECT num_id, text_id, name, kind, info FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY num_id
+         |    ORDER BY (text_id = ''), text_id, name, kind, info) AS rn
+         |  FROM ${t("ext_entities")}) d
+         |WHERE rn = 1""".stripMargin,
+    "q24_extract_metrics" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM ${t("ext_clean")}) AS turns,
+         |  (SELECT CAST(sum(n_blocks_total) AS BIGINT) FROM ${t("ext_clean")}) AS blocks_total,
+         |  (SELECT CAST(sum(n_blocks_kept) AS BIGINT) FROM ${t("ext_clean")}) AS blocks_kept,
+         |  (SELECT count(*) FROM ${t("ext_modules")}) AS modules_ok,
+         |  (SELECT count(*) FROM ${t("ext_errors")}) AS modules_err,
+         |  (SELECT CAST(sum(CASE WHEN span_end > span_start
+         |      THEN span_end - span_start ELSE 0 END) AS BIGINT)
+         |   FROM ${t("ext_modules")}) AS span_chars""".stripMargin,
+    "q25_zone_audit" ->
+      s"""WITH d AS (
+         |  SELECT module_type, zones FROM (
+         |    SELECT module_type, zones, row_number() OVER (PARTITION BY conv_id, module
+         |      ORDER BY turn_idx, block_ordinal, row_ordinal, module_ordinal) AS rn
+         |    FROM ${t("ext_modules")}) x WHERE rn = 1),
+         |z AS (SELECT d.module_type, CAST(u.i - 1 AS INTEGER) AS zone_idx,
+         |        d.zones[u.i] AS zone_value
+         |      FROM d, UNNEST(range(1, len(d.zones) + 1)) AS u(i))
+         |SELECT l.catalog_id, count(*) AS zones,
+         |  CAST(sum(CASE WHEN c.value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |FROM z JOIN ${t("dim_layout")} l
+         |  ON z.module_type = l.module_type AND z.zone_idx = l.zone_idx
+         |LEFT JOIN ${t("dim_catalogs")} c
+         |  ON l.catalog_id = c.catalog_id AND z.zone_value = c.key
+         |GROUP BY l.catalog_id""".stripMargin,
+    "q26_entity_status" ->
+      s"""WITH ded AS (SELECT num_id, kind FROM (
+         |    SELECT num_id, kind, row_number() OVER (PARTITION BY num_id
+         |      ORDER BY (text_id = ''), text_id, name, kind, info) AS rn
+         |    FROM ${t("ext_entities")}) x WHERE rn = 1),
+         |pk AS (SELECT DISTINCT k FROM (SELECT CAST(num_id AS BIGINT) AS k
+         |       FROM ded WHERE kind = 'person' UNION ALL SELECT 0) a),
+         |ck AS (SELECT DISTINCT k FROM (SELECT CAST(num_id AS BIGINT) AS k
+         |       FROM ded WHERE kind = 'community' UNION ALL SELECT 8999) a),
+         |pg AS (SELECT 'person' AS kind, prev AS gap_start, k AS gap_end,
+         |         k - prev - 1 AS missing
+         |       FROM (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM pk) v
+         |       WHERE prev IS NOT NULL AND k - prev > 1),
+         |cg AS (SELECT 'community' AS kind, prev AS gap_start, k AS gap_end,
+         |         k - prev - 1 AS missing
+         |       FROM (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM ck) v
+         |       WHERE prev IS NOT NULL AND k - prev > 1)
+         |SELECT kind, gap_start, gap_end, missing FROM pg
+         |UNION ALL SELECT kind, gap_start, gap_end, missing FROM cg""".stripMargin,
+    "q28_skip_rules" ->
+      s"""WITH b AS (SELECT code, count(*) AS errors_before
+         |           FROM ${t("ext_errors")} GROUP BY code),
+         |a AS (SELECT code, count(*) AS errors_after
+         |      FROM ${t("ext_errors_after")} GROUP BY code)
+         |SELECT b.code, b.errors_before,
+         |  coalesce(a.errors_after, 0) AS errors_after,
+         |  (SELECT count(*) FROM ${t("skip_rules")}) AS skip_rules
+         |FROM b LEFT JOIN a USING (code)""".stripMargin,
+    "q29_conversation_text" ->
+      s"""SELECT conv_id, count(*) AS prose_turns,
+         |  string_agg(clean_text, chr(10) || chr(10) ORDER BY turn_idx)
+         |    AS conversation_text,
+         |  CAST(length(string_agg(clean_text, chr(10) || chr(10)
+         |    ORDER BY turn_idx)) AS INTEGER) AS n_chars
+         |FROM ${t("ext_clean")} WHERE length(clean_text) > 0
+         |GROUP BY conv_id""".stripMargin,
+
+    // ---- near-dup verify stages over materialized candidate pairs ----------
+    "q41_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) >= 3
+         |    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+         |    ELSE [array_to_string(words, ' ')] END) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+         |        FROM ${t("docs_planted")}) w)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM ${t("minhash_cands")} c
+         |  JOIN sh a ON c.id_a = a.doc_id
+         |  JOIN sh b ON c.id_b = b.doc_id) v
+         |WHERE j >= 0.7""".stripMargin,
+    "q42_dedup_simhash" ->
+      s"""SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS dist
+         |FROM ${t("simhash_cands")} c
+         |JOIN ${t("simhash_sigs")} sa ON c.id_a = sa.id
+         |JOIN ${t("simhash_sigs")} sb ON c.id_b = sb.id
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 6""".stripMargin,
+    "q43_dedup_embedding" ->
+      s"""SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])) AS cos
+         |  FROM ${t("emb_cands")} c
+         |  JOIN ${t("emb_planted")} a ON c.id_a = a.vec_id
+         |  JOIN ${t("emb_planted")} b ON c.id_b = b.vec_id) v
+         |WHERE cos >= 0.98""".stripMargin,
+    "q49_dedup_corpus" ->
+      s"""SELECT count(*) AS docs_kept,
+         |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS planted_kept
+         |FROM ${t("corpus_keepers")}""".stripMargin,
+
+    // ---- ANN re-rank stages over materialized candidate sets ---------------
+    "q45_ann_lsh_topk" ->
+      s"""SELECT query_id, id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT c.query_id, c.id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(q.embedding AS DOUBLE[])) DESC, c.id) AS rank
+         |  FROM ${t("ann_lsh_cands")} c
+         |  JOIN embeddings e ON c.id = e.vec_id
+         |  JOIN embeddings q ON c.query_id = q.vec_id) v
+         |WHERE rank <= 10""".stripMargin,
+    "q47_ann_ivf_topk" ->
+      s"""SELECT query_id, id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT c.query_id, c.id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(q.embedding AS DOUBLE[])) DESC, c.id) AS rank
+         |  FROM ${t("ann_ivf_cands")} c
+         |  JOIN embeddings e ON c.id = e.vec_id
+         |  JOIN embeddings q ON c.query_id = q.vec_id) v
+         |WHERE rank <= 10""".stripMargin,
+
+    // ---- multimodal feature aggregation over decoded rows ------------------
+    "q46_multimodal_features" ->
+      s"""SELECT kind, count(*) AS n,
+         |  CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  round(avg(entropy), 4) AS avg_entropy,
+         |  CAST(sum(width) AS BIGINT) AS total_px_width,
+         |  CAST(sum(frames_sampled) AS BIGINT) AS frames_sampled
+         |FROM ${t("media_features")} GROUP BY kind""".stripMargin
   )
 }

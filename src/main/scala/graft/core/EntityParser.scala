@@ -49,10 +49,15 @@ object EntityParser {
     val numbersIdStr = tokens(1)
     if (!fullMatch(NumIdPattern, numbersIdStr) || numbersIdStr.isEmpty)
       return Left(ParseFailure(ErrorCode.BadNumericId, numbersIdStr))
+    // Post-regex overflow = an all-digit id too large for Int. The
+    // reference's unbounded Python int passes the regex and fails the
+    // MaxNumId range check (annuary_register_parser.py:89-97), so overflow
+    // is ID_OUT_OF_RANGE, not BAD_NUMERIC_ID — parseNumIdOnly already
+    // agrees.
     val numId =
       try numbersIdStr.toInt
       catch { case _: NumberFormatException =>
-        return Left(ParseFailure(ErrorCode.BadNumericId, numbersIdStr))
+        return Left(ParseFailure(ErrorCode.IdOutOfRange, numbersIdStr))
       }
     if (numId > MaxNumId)
       return Left(ParseFailure(ErrorCode.IdOutOfRange, numbersIdStr))

@@ -50,6 +50,21 @@ object Extractor {
               errors += ExtractionError(
                 turn.conv_id, turn.turn_idx, b.ordinal, -1, -1,
                 f.code, -1, f.detail, Blocker.headerText(cb))
+              // M10 salvage (diary_ocr.py:174-189): a garbled header that
+              // still yields a numeric id resolving against the known entity
+              // universe produces a minimal fixable register (empty
+              // text_id/name marks it salvaged; dedup prefers real registers)
+              // alongside the dead-letter row. BAD_NUMERIC_ID is excluded,
+              // as in the reference.
+              if (f.code != ErrorCode.BadNumericId) {
+                EntityParser.parseNumIdOnly(Blocker.headerText(cb)) match {
+                  case Right(id) if ctx.entityIds(id) =>
+                    entities += EntityRegister(id, "", "",
+                      if (id < EntityParser.CommunityStartId) "person"
+                      else "community", "")
+                  case _ => // unsalvageable: dead-letter row already emitted
+                }
+              }
           }
 
         case BlockKind.Content =>

@@ -43,19 +43,18 @@ object Dedup {
 
   // ---- MinHash + banded LSH ----------------------------------------------
 
-  /** Banded LSH candidate pairs: signatures agree on at least one of
-    * `bands` bands (rows = k/bands each) ⇒ candidate; then verified with
-    * exact shingle Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard),
-    * id_a < id_b. Requires a numeric id column.
+  /** Banded LSH candidate pairs (id_a < id_b), UNVERIFIED: signatures agree
+    * on at least one of `bands` bands (rows = k/bands each). Exposed
+    * standalone so the verify stage can be independently re-checked (the
+    * DuckDB oracle recomputes exact Jaccard over exactly this pair set).
     *
     * Signature+banding run in ONE typed pass per document (HashCore):
     * the pure-Column formulation re-evaluates the shingle/hash chain per
     * permutation after projection collapse — measured 70× slower. The only
     * shuffles are the band-bucket self-join and candidate dedup. */
-  def minhashNearDups(
+  def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      shingleK: Int = 3): DataFrame = {
+      k: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide the signature size k ($k) — " +
         "otherwise trailing permutations would be silently unused")
@@ -73,26 +72,38 @@ object Dedup {
 
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
 
-    // exact Jaccard verification, candidates only: join the shingle-hash
-    // sets back (recomputed once per side — cheaper than carrying arrays
-    // through the band shuffle)
-    val sh = base.mapPartitions(_.map { case (id, text) =>
-      (id, HashCore.shingleHashes(text, shingleK))
-    }).toDF("id", "sh")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+  /** Exact-Jaccard verification of a candidate pair set against the corpus:
+    * joins the texts back and keeps pairs with word-shingle Jaccard ≥
+    * `threshold`. Jaccard is over the raw distinct shingle STRINGS
+    * (ngramJaccard) — bit-identical to what an independent SQL engine
+    * computes, with no hash-collision caveat. */
+  def verifyJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, threshold: Double, shingleK: Int = 3): DataFrame = {
+    val txt = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", when(union > 0, inter / union).otherwise(0.0))
+      .join(txt.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(txt.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingleK))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** MinHash near-dups = banded-LSH candidates + exact Jaccard verify.
+    * Returns (id_a, id_b, jaccard), id_a < id_b. Requires a numeric id. */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      shingleK: Int = 3): DataFrame =
+    verifyJaccard(docs, idCol, textCol,
+      minhashCandidates(docs, idCol, textCol, k, bands, shingleK),
+      threshold, shingleK)
 
   /** Exact word-n-gram Jaccard between two text columns — the verification
     * primitive exposed standalone. */
@@ -109,24 +120,25 @@ object Dedup {
   /** Hamming distance between two int64 simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dups with Hamming distance ≤ maxDist, using the pigeonhole
-    * banding trick: split 64 bits into (maxDist+1) chunks — any pair within
-    * distance maxDist agrees exactly on ≥1 chunk, so chunk-equality buckets
-    * are a complete candidate generator. The simhash itself is a typed
-    * one-pass kernel (HashCore.simhash); chunk keys are cheap bit arithmetic
-    * over the materialized hash column. */
-  def simhashNearDups(
-      docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
-    val chunks = maxDist + 1
-    val width = 64 / chunks
+  /** SimHash signatures: (id, sh) — the typed one-pass kernel
+    * (HashCore.simhash) materialized as a table, exposed for the oracle. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, HashCore.simhash(text)) })
       .toDF("id", "sh")
+  }
+
+  /** Pigeonhole candidate pairs over simhash signatures, UNVERIFIED: split
+    * 64 bits into (maxDist+1) chunks — any pair within distance maxDist
+    * agrees exactly on ≥1 chunk, so chunk-equality buckets are a complete
+    * candidate generator. Returns (id_a, id_b, sh_a, sh_b), id_a < id_b. */
+  def simhashCandidates(sigs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 31, s"maxDist must be in [1,31], got $maxDist")
+    val chunks = maxDist + 1
+    val width = 64 / chunks
     // the LAST chunk absorbs the 64 % chunks remainder bits so every bit of
     // the hash participates in exactly one bucket key
     val chunkKeys = array((0 until chunks).map { c =>
@@ -135,17 +147,25 @@ object Dedup {
       val mask = if (bits >= 64) -1L else (1L << bits) - 1
       shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))
     }: _*)
-    val banded = sh.select(col("id"), col("sh"),
+    val banded = sigs.select(col("id"), col("sh"),
       posexplode(chunkKeys).as(Seq("chunk", "key")))
     val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+  }
+
+  /** SimHash near-dups with Hamming distance ≤ maxDist = pigeonhole
+    * candidates + exact Hamming verify. Returns (id_a, id_b, dist). */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simhashCandidates(simhashSignatures(docs, idCol, textCol), maxDist)
+      .withColumn("dist", hamming(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
-  }
 
   // ---- near-dup clusters + corpus dedup ---------------------------------------
 
@@ -229,14 +249,13 @@ object Dedup {
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(0.0)
   }
 
-  /** Embedding near-dups above `threshold` cosine, bucketed by random-
-    * hyperplane LSH signs (nBits planes, deterministic seed): candidate
+  /** Hyperplane-LSH candidate pairs for embedding near-dup, UNVERIFIED:
     * pairs share the exact sign signature or differ in at most ONE bit
     * (multi-probe radius 1 — recovers near-identical vectors that straddle
-    * a single plane). Verified exactly with the native cosine. */
-  def embeddingNearDups(
+    * a single plane). Returns (id_a, id_b, v_a, v_b), id_a < id_b. */
+  def embeddingCandidates(
       vecs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
+      dim: Int, nBits: Int = 12): DataFrame = {
     val planes = Similarity.hyperplanes(dim, nBits)
     val sigCol = Similarity.signSignature(col(vecCol), planes)
     val sig = vecs.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig"))
@@ -250,8 +269,16 @@ object Dedup {
     a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "v_a", "v_b")
+  }
+
+  /** Embedding near-dups above `threshold` cosine = hyperplane-LSH
+    * candidates + exact cosine verify (native fused expression). */
+  def embeddingNearDups(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nBits: Int = 12): DataFrame =
+    embeddingCandidates(vecs, idCol, vecCol, dim, nBits)
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-  }
 }

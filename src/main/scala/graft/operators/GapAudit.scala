@@ -25,29 +25,29 @@ object GapAudit {
       .repartitionByRange(p, col("k"))
       .sortWithinPartitions("k")
 
-    // phase 1: intra-partition gaps + per-partition (first, last)
+    // phase 1: intra-partition gaps + per-partition (first, last). Boundary
+    // rows carry an explicit marker column (never an in-band sentinel key —
+    // any long is a legitimate key for this general-purpose operator):
+    // bound=true → (a=partition id, b=first key, c=last key);
+    // bound=false → (a=gap_start, b=gap_end, c=missing).
     val local = distinctKeys.as[Long].mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val first = it.next()
         var prev = first
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long, Long, Long)]
         while (it.hasNext) {
           val k = it.next()
-          if (k - prev > 1) out += ((prev, k, k - prev - 1))
+          if (k - prev > 1) out += ((false, prev, k, k - prev - 1))
           prev = k
         }
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        // boundary marker row: (-1-pid) tags (first, last) of this partition
-        Iterator((Long.MinValue + pid, first, prev)) ++ out.iterator
+        Iterator((true, pid.toLong, first, prev)) ++ out.iterator
       }
-    }.toDF("a", "b", "c").cache()
-
-    val inner = local.filter(col("a") > Long.MinValue + p)
-      .select(col("a").as("gap_start"), col("b").as("gap_end"), col("c").as("missing"))
+    }.toDF("bound", "a", "b", "c").cache()
 
     // phase 2: stitch boundaries (ordered by partition id = range order)
-    val bounds = local.filter(col("a") <= Long.MinValue + p)
+    val bounds = local.filter(col("bound"))
       .orderBy(col("a"))
       .select(col("b").as("first"), col("c").as("last"))
       .collect()
@@ -55,6 +55,13 @@ object GapAudit {
       case Array(l, r) if r.getLong(0) - l.getLong(1) > 1 =>
         (l.getLong(1), r.getLong(0), r.getLong(0) - l.getLong(1) - 1)
     }.toSeq
+
+    // materialize the intra-partition gaps off the cache, then release it —
+    // the caller would otherwise hold executor memory for the session
+    val inner = local.filter(!col("bound"))
+      .select(col("a").as("gap_start"), col("b").as("gap_end"), col("c").as("missing"))
+      .localCheckpoint()
+    local.unpersist()
 
     import spark.implicits._
     val stitchedDf = stitched.toDF("gap_start", "gap_end", "missing")

@@ -30,16 +30,33 @@ object Ivf {
     if (den > 0) dot / den else 0.0
   }
 
-  /** Deterministic driver-side k-means on a hash-sampled subset. */
+  /** Deterministic driver-side k-means on a hash-sampled subset.
+    *
+    * The deterministic pick is orderBy(hash-mod, id).limit — but a bare
+    * TakeOrdered over the whole corpus scans everything just to grab a
+    * sample. A hash-RANGE pre-filter (pmod(hash(id), 997) < T, with T sized
+    * ~4× the needed fraction) bounds the TakeOrdered input for free; when
+    * the corpus is no bigger than the sample the filter keeps everything,
+    * so the chosen sample — and therefore the model — is unchanged on
+    * small fixtures. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, sampleSize: Int = 2048, iters: Int = 5): Model = {
-    val sample = corpus
+    val base = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .orderBy(pmod(hash(col("id")), lit(997)), col("id")) // deterministic spread
+    val total = base.count() // parquet sources: metadata-only count
+    val modCol = pmod(hash(col("id")), lit(997))
+    val threshold =
+      if (total <= sampleSize) 997L
+      else math.min(997L, (997.0 * 4 * sampleSize / total).ceil.toLong.max(1L))
+    var picked = base.filter(modCol < threshold)
+      .orderBy(modCol, col("id"))
       .limit(sampleSize)
       .collect()
-      .map(_.getSeq[Double](1).toArray)
+    if (picked.length < math.min(sampleSize.toLong, total) && threshold < 997L)
+      // hash-range undershoot (vanishingly rare at 4× oversample): fall back
+      picked = base.orderBy(modCol, col("id")).limit(sampleSize).collect()
+    val sample = picked.map(_.getSeq[Double](1).toArray)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
 
     var centroids = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
@@ -77,13 +94,12 @@ object Ivf {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
-  /** ANN top-k: assign corpus to cells once; each query probes its `probes`
-    * nearest cells; exact cosine re-rank within the probed cells only. */
-  def topK(
+  /** IVF candidate set, UNRANKED: assign corpus to cells once; each query
+    * probes its `probes` nearest cells. Returns (query_id, id, v, qv). */
+  def candidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, model: Model, probes: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      model: Model, probes: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -105,16 +121,18 @@ object Ivf {
     val qDf = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq.toDF("query_id", "qv")
 
-    val cands = assigned
+    assigned
       .join(broadcast(probePairs), Seq("cell"))
       .join(broadcast(qDf), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cos", Dedup.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+      .select(col("query_id"), col("id"), col("v"), col("qv"))
   }
+
+  /** ANN top-k: probe-limited candidates + exact cosine re-rank. */
+  def topK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, model: Model, probes: Int = 4): DataFrame =
+    Similarity.rerankTopK(
+      candidates(corpus, idCol, vecCol, queries, qidCol, qvecCol, model, probes), k)
 }

@@ -60,15 +60,14 @@ object Similarity {
       .select(col("query_id"), col("id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** LSH-bucketed ANN top-k: candidates = corpus vectors whose signature is
-    * the query's signature or one bit away (multi-probe radius 1); exact
-    * cosine re-rank inside candidates. Recall < 1 by construction; at scale
-    * the bucket join replaces the O(|corpus|·|queries|) scan. */
-  def lshTopK(
+  /** LSH-bucketed ANN candidate set, UNRANKED: corpus vectors whose
+    * signature is the query's signature or one bit away (multi-probe
+    * radius 1). Returns (query_id, id, v, qv) — the vectors ride along so
+    * the re-rank stays a single corpus scan. */
+  def lshCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, dim: Int, nBits: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      dim: Int, nBits: Int = 12): DataFrame = {
     val planes = hyperplanes(dim, nBits)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signSignature(col(vecCol), planes).as("sig"))
@@ -78,14 +77,30 @@ object Similarity {
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
       signSignature(col(qvecCol), planes).as("qsig"))
       .withColumn("sig", explode(probeSigs))
-    val cands = c.join(broadcast(q), Seq("sig"))
+    c.join(broadcast(q), Seq("sig"))
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
-      .withColumn("cos", Dedup.cosine(col("v"), col("qv")))
+      .select(col("query_id"), col("id"), col("v"), col("qv"))
+  }
+
+  /** Exact cosine top-k re-rank of a (query_id, id, v, qv) candidate set. */
+  def rerankTopK(cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("id"))
-    cands.withColumn("rank", row_number().over(w))
+    cands.withColumn("cos", Dedup.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id"), col("cos"), col("rank").cast("long").as("rank"))
   }
+
+  /** LSH-bucketed ANN top-k = multi-probe candidates + exact re-rank.
+    * Recall < 1 by construction; at scale the bucket join replaces the
+    * O(|corpus|·|queries|) scan. */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nBits: Int = 12): DataFrame =
+    rerankTopK(
+      lshCandidates(corpus, idCol, vecCol, queries, qidCol, qvecCol, dim, nBits), k)
 }

@@ -196,6 +196,13 @@ object ExtractPipeline {
       .map(_._2)
   }
   private def lt(a: EntityRegister, b: EntityRegister): Boolean = {
+    // Salvaged minimal registers (M10: empty text_id) always lose to a real
+    // register for the same id — the reference resolves the salvaged id
+    // against the EXISTING annuary entry (diary_ocr.py:180-182), so
+    // "existing wins" is the dedup policy, not arrival order.
+    val sa = if (a.text_id.isEmpty) 1 else 0
+    val sb = if (b.text_id.isEmpty) 1 else 0
+    if (sa != sb) return sa < sb
     var c = a.text_id.compareTo(b.text_id)
     if (c == 0) c = a.name.compareTo(b.name)
     if (c == 0) c = a.kind.compareTo(b.kind)
@@ -221,6 +228,89 @@ object ExtractPipeline {
         col("row_ordinal"), col("module_ordinal"))
       .sortWithinPartitions("conv_id", "turn_idx", "block_ordinal",
         "row_ordinal", "module_ordinal")
+  }
+
+  // ---- skip-rule derivation (X4) ----------------------------------------------
+
+  /** Zone-level error codes a skip rule may tolerate (the reference's SKIP
+    * protocol accepts zone failures, never row/type-level ones —
+    * diary_module_parser.py:170-181). */
+  val SkippableCodes: Set[String] = Set(
+    ErrorCode.InvalidValueOnZone, ErrorCode.BadYear, ErrorCode.BadNumId,
+    ErrorCode.NoEntityRegister, ErrorCode.BadZoneString)
+
+  /** Distributed skip-rule derivation: the DISTINCT (module_ordinal,
+    * zone_catalog, zone_str) triples of skippable errors — never a collect
+    * of raw error rows (errors scale with the corpus; the distinct triple
+    * set is bounded by the grammar × catalog value space). One action:
+    * deterministic TakeOrdered of at most cap+1 triples; `overflowed` = true
+    * means the cap truncated the rule set (callers must log it). */
+  def deriveSkipRules(errs: Dataset[ExtractionError],
+      cap: Int = 10000): (Set[SkipRule], Boolean) = {
+    val rows = errs
+      .filter(e => SkippableCodes.contains(e.code) && e.module_ordinal >= 0)
+      .select(col("module_ordinal"), col("zone_catalog"), col("zone_str"))
+      .distinct()
+      .orderBy(col("module_ordinal"), col("zone_catalog"), col("zone_str"))
+      .limit(cap + 1)
+      .collect()
+    val overflowed = rows.length > cap
+    val rules = rows.take(cap)
+      .map(r => SkipRule(r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    (rules, overflowed)
+  }
+
+  // ---- bounded-memory conversation reassembly (O2, north rule) ----------------
+
+  /** Per-conversation ordered text reassembly WITHOUT a whole-conversation
+    * aggregation buffer: range-partition on (conv_id, turn_idx) — a
+    * mega-conversation spans many partitions — sort within partitions, and
+    * stream-concatenate contiguous runs locally (state = one StringBuilder
+    * bounded by the partition, the GapAudit two-phase pattern). The final
+    * per-conversation stitch aggregates only ONE segment row per partition
+    * the conversation touches, not one per turn.
+    *
+    * Input must already be filtered to the turns to include; output is
+    * (conv_id, prose_turns, conversation_text, n_chars), identical to the
+    * naive sort_array(collect_list(all turns)) form. */
+  def conversationText(clean: DataFrame, partitions: Int = 0): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // persist across repartitionByRange's range-sampling pass (see ordered())
+    val pinned = clean.select(col("conv_id"), col("turn_idx"), col("clean_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = pinned
+      .repartitionByRange(p, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        new Iterator[(String, Int, Long, String)] {
+          private var pending: (String, Int, String) = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = pending != null
+          def next(): (String, Int, Long, String) = {
+            val conv = pending._1; val firstIdx = pending._2
+            var n = 1L
+            val sb = new java.lang.StringBuilder(pending._3)
+            pending = null
+            var open = true
+            while (open && it.hasNext) {
+              val t = it.next()
+              if (t._1 == conv) { sb.append("\n\n").append(t._3); n += 1 }
+              else { pending = t; open = false }
+            }
+            (conv, firstIdx, n, sb.toString)
+          }
+        }
+      }.toDF("conv_id", "first_idx", "seg_turns", "seg_text")
+    segs.groupBy(col("conv_id"))
+      .agg(
+        sum(col("seg_turns")).as("prose_turns"),
+        concat_ws("\n\n", transform(
+          sort_array(collect_list(struct(col("first_idx"), col("seg_text")))),
+          x => x.getField("seg_text"))).as("conversation_text"))
+      .withColumn("n_chars", length(col("conversation_text")))
   }
 
   // ---- resume (J4) -----------------------------------------------------------
@@ -261,19 +351,22 @@ object ExtractPipeline {
     * explicit broadcast join — the DataFrame form of the catalog probe, used
     * to demonstrate/exercise the broadcast-hash-join path and to audit the
     * in-extractor validation. Returns zone-level rows with a `hit` flag. */
+  /** The grammar's (module_type, zone_idx, catalog_id) layout as a dimension
+    * DataFrame (27→9 alias applied, as parse_zone does). */
+  def layoutDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Grammar.moduleZones.toSeq.sortBy(_._1).flatMap { case (t, zs) =>
+      zs.zipWithIndex.map { case ((cat, _), i) =>
+        (t, i, if (cat == 27) 9 else cat)
+      }
+    }.toDF("module_type", "zone_idx", "catalog_id")
+  }
+
   def zoneAudit(modsDeduped: DataFrame, catalogs: DataFrame): DataFrame = {
     val zones = modsDeduped
       .select(col("conv_id"), col("turn_idx"), col("module_type"),
         posexplode(col("zones")).as(Seq("zone_idx", "zone_value")))
-    // attach the grammar's catalog id per (module_type, zone_idx)
-    val layout = Grammar.moduleZones.toSeq.flatMap { case (t, zs) =>
-      zs.zipWithIndex.map { case ((cat, _), i) =>
-        (t, i, if (cat == 27) 9 else cat)
-      }
-    }
-    val spark = modsDeduped.sparkSession
-    import spark.implicits._
-    val layoutDf = layout.toDF("module_type", "zone_idx", "catalog_id")
+    val layoutDf = layoutDim(modsDeduped.sparkSession)
     zones
       .join(broadcast(layoutDf), Seq("module_type", "zone_idx"))
       .join(broadcast(catalogs.withColumnRenamed("key", "zone_value")),

@@ -87,7 +87,14 @@ object ResumableExtract {
     df.sparkSession.read.parquet(f"$dir/bucket=$bucket%05d").count()
   }
 
-  /** Read back the combined committed output. */
-  def readModules(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/modules")
+  /** Read back the combined COMMITTED output: only bucket directories whose
+    * manifest row landed are scanned, so a crash between a bucket's data
+    * write and its manifest commit never leaks uncommitted rows into the
+    * read (the resume run overwrites that bucket's directory). */
+  def readModules(spark: SparkSession, outDir: String, buckets: Int = 8): DataFrame = {
+    val committed = committedBuckets(outDir, buckets).toSeq.sorted
+    require(committed.nonEmpty, s"no committed buckets under $outDir")
+    val dirs = committed.map(b => f"$outDir/modules/bucket=$b%05d")
+    spark.read.option("basePath", s"$outDir/modules").parquet(dirs: _*)
+  }
 }

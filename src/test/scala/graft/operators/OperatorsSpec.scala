@@ -341,28 +341,64 @@ class MultimodalSpec extends AnyFunSuite {
   test("empty and null document texts synthesize valid media") {
     val docs = Seq((0L, ""), (1L, null.asInstanceOf[String]), (2L, "ok"))
       .toDF("doc_id", "text")
-    val feats = Multimodal.decodeStub(Multimodal.synthesizeMedia(docs, spark))
+    val feats = Multimodal.decode(Multimodal.synthesizeMedia(docs, spark))
       .collect()
     assert(feats.length == 3)
     feats.foreach(f => assert(f.n_bytes >= 256))
   }
 
-  test("binary plumbing: schema, determinism, batched decode stub") {
+  test("binary plumbing: schema, determinism, batched decode") {
     val docs = Seq((0L, "alpha bravo"), (1L, "charlie delta"), (2L, "echo fox"))
       .toDF("doc_id", "text")
     val media = Multimodal.synthesizeMedia(docs, spark)
-    val feats1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
-    val feats2 = Multimodal.decodeStub(Multimodal.synthesizeMedia(docs, spark))
+    val feats1 = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.decode(Multimodal.synthesizeMedia(docs, spark))
       .collect().sortBy(_.doc_id)
     assert(feats1.toSeq == feats2.toSeq) // deterministic
     assert(feats1.map(_.kind).toSeq == Seq("image", "audio", "video"))
     feats1.foreach { f =>
       assert(f.n_bytes >= 256)
-      assert(f.byte_entropy > 0 && f.byte_entropy <= 8.0)
+      assert(f.entropy > 0 && f.entropy <= 8.0)
       assert(f.head_histogram.size == 8)
     }
+    // images decode for real (javax.imageio); audio/video remain stubbed
+    assert(feats1.find(_.kind == "image").get.decoded)
+    assert(!feats1.find(_.kind == "audio").get.decoded)
+    assert(!feats1.find(_.kind == "video").get.decoded)
     // frame sampling arithmetic: video with n frames samples ceil(n/stride)
     val video = feats1.find(_.kind == "video").get
     assert(video.frames_sampled >= 1)
+  }
+
+  test("image rows: features come from DECODED pixels of a real tiny PNG") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 3×2 PNG: two known colors — white (luma 255) top row, black bottom
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3) {
+      img.setRGB(x, 0, 0xffffff)
+      img.setRGB(x, 1, 0x000000)
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    val media = Seq(Multimodal.MediaRow(0L, "image", baos.toByteArray,
+      Multimodal.MediaMeta("png", 3, 2, 0L))).toDS()
+    val f = Multimodal.decode(media).collect().head
+    assert(f.decoded)
+    assert(f.width == 3 && f.height == 2)
+    // luma histogram head bucket: 3 black pixels at luma 0
+    assert(f.head_histogram.head == 3L)
+    // two equiprobable luma values → exactly 1 bit of entropy
+    assert(math.abs(f.entropy - 1.0) < 1e-12)
+  }
+
+  test("synthesized image blobs are real PNGs (decode round-trips size)") {
+    val docs = Seq((0L, "img doc"), (3L, "img doc two")).toDF("doc_id", "text")
+    val feats = Multimodal.decode(Multimodal.synthesizeMedia(docs, spark))
+      .collect().sortBy(_.doc_id)
+    assert(feats.forall(_.kind == "image"))
+    assert(feats.forall(_.decoded))
+    assert(feats.map(f => (f.width, f.height)).toSeq == Seq((64, 64), (67, 64)))
   }
 }

@@ -59,9 +59,68 @@ class ResumableExtractSpec extends AnyFunSuite {
     // output identical afterwards
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(dir, "_manifest", "bucket-00002.json"))
+    // with the manifest gone (= crash between data write and commit),
+    // readModules must NOT leak the uncommitted bucket's rows
+    val bucket2 = first.find(_.bucket == 2).get.modules
+    assert(ResumableExtract.readModules(spark, dir, buckets = 4).count()
+      == allModules - bucket2)
     val third = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
     assert(third.map(_.bucket) == Seq(2))
-    assert(ResumableExtract.readModules(spark, dir).count() == allModules)
+    assert(ResumableExtract.readModules(spark, dir, buckets = 4).count() == allModules)
+  }
+}
+
+class SalvagedDedupSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("dedupEntities: a real register always beats a salvaged minimal one") {
+    val ents = Seq(
+      EntityRegister(7, "", "", "person", ""), // salvaged (M10)
+      EntityRegister(7, "ZZ", "ZULU", "person", ""), // real — must win
+      EntityRegister(8, "", "", "person", "")) // salvage only: survives
+    val out = ExtractPipeline.dedupEntities(ents.toDS().repartition(3))
+      .collect().sortBy(_.num_id)
+    assert(out.toSeq == Seq(
+      EntityRegister(7, "ZZ", "ZULU", "person", ""),
+      EntityRegister(8, "", "", "person", "")))
+  }
+}
+
+class SkipRuleDerivationSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val errs = Seq(
+    ExtractionError("c0", 0, 0, 0, 1, ErrorCode.InvalidValueOnZone, 3, "XQ", "r"),
+    ExtractionError("c1", 4, 0, 0, 1, ErrorCode.InvalidValueOnZone, 3, "XQ", "r"), // dup triple
+    ExtractionError("c2", 1, 0, 0, 0, ErrorCode.BadYear, 1, "19Z3", "r"),
+    ExtractionError("c3", 2, 0, 0, 2, ErrorCode.BadNumId, 32, "0O1", "r"),
+    ExtractionError("c4", 3, 0, 0, 1, ErrorCode.ModuleTypeNotRecognized, -1, "??", "r"), // not skippable
+    ExtractionError("c5", 5, 0, 0, -1, ErrorCode.InvalidValueOnZone, 3, "YY", "r"), // row-level: excluded
+    ExtractionError("c6", 6, 0, -1, -1, ErrorCode.BadLetterId, -1, "hdr", "r") // header: excluded
+  )
+
+  test("distributed derivation equals the naive collect-everything path") {
+    val ds = errs.toDS().repartition(5)
+    val (rules, overflowed) = ExtractPipeline.deriveSkipRules(ds)
+    assert(!overflowed)
+    // the old path: collect ALL raw errors, filter driver-side
+    val naive = errs
+      .filter(e => ExtractPipeline.SkippableCodes.contains(e.code) && e.module_ordinal >= 0)
+      .map(e => SkipRule(e.module_ordinal, e.zone_catalog, e.zone_str)).toSet
+    assert(rules == naive)
+    assert(rules.size == 3)
+  }
+
+  test("cap truncates deterministically (lowest triples) and reports overflow") {
+    val ds = errs.toDS()
+    val (rules, overflowed) = ExtractPipeline.deriveSkipRules(ds, cap = 2)
+    assert(overflowed)
+    assert(rules.size == 2)
+    // deterministic: the 2 smallest by (module_ordinal, zone_catalog, zone_str)
+    val all = Seq(SkipRule(0, 1, "19Z3"), SkipRule(1, 3, "XQ"), SkipRule(2, 32, "0O1"))
+    assert(rules == all.take(2).toSet)
   }
 }
 
