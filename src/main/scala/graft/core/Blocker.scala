@@ -45,10 +45,23 @@ object Blocker {
   /** Header marker: the digitized register line of the block. */
   val HeaderMarker = "# "
 
-  /** One block: `span` over the turn text, lines as [start, end) offsets. */
-  final case class RawBlock(text: String, span: Span, lineBounds: Array[Span]) {
+  /** Line bounds pack into one long each — (start << 32) | end — so a
+    * block's lines are ONE primitive array, not one Span object per line
+    * (the extraction hot path allocates per turn; at 10^12 turns the
+    * allocation rate is the scaling bottleneck, BENCH/BASELINE.md §3). */
+  @inline def packLine(start: Int, end: Int): Long =
+    (start.toLong << 32) | (end & 0xffffffffL)
+  @inline def lineStart(packed: Long): Int = (packed >>> 32).toInt
+  @inline def lineEnd(packed: Long): Int = packed.toInt
+
+  /** One block: `span` over the turn text, lines as packed [start, end)
+    * offsets (see packLine). */
+  final case class RawBlock(text: String, span: Span, lineBounds: Array[Long]) {
     def lineStrings: Vector[(String, Int)] =
-      lineBounds.iterator.map(s => (text.substring(s.start, s.end), s.start)).toVector
+      lineBounds.iterator
+        .map(l => (text.substring(lineStart(l), lineEnd(l)), lineStart(l))).toVector
+    def lineSpans: Vector[Span] =
+      lineBounds.iterator.map(l => Span(lineStart(l), lineEnd(l))).toVector
   }
 
   final case class ClassifiedBlock(block: Block, raw: RawBlock) {
@@ -63,32 +76,41 @@ object Blocker {
   }
 
   /** Split turn text into blocks on blank lines, tracking char offsets.
-    * No substrings allocated. */
-  def splitBlocks(text: String): Vector[RawBlock] = {
+    * No substrings allocated; per block the only allocations are the
+    * RawBlock and its exact-size packed-long line array. */
+  def splitBlocks(text: String): Vector[RawBlock] =
+    splitBlocks(text, new Tokenizer.Scratch)
+
+  /** Scratch form for hot partition loops: the growable line buffer is
+    * reused across turns. */
+  def splitBlocks(text: String, scratch: Tokenizer.Scratch): Vector[RawBlock] = {
     val out = Vector.newBuilder[RawBlock]
-    val cur = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var nLines = 0
     var curStart = -1
     var curEnd = -1
     def flush(): Unit = {
-      if (cur.nonEmpty) {
-        out += RawBlock(text, Span(curStart, curEnd), cur.toArray)
-        cur.clear()
+      if (nLines > 0) {
+        out += RawBlock(text, Span(curStart, curEnd),
+          java.util.Arrays.copyOf(scratch.lineBuf, nLines))
+        nLines = 0
       }
       curStart = -1; curEnd = -1
     }
     val n = text.length
-    var lineStart = 0
-    while (lineStart <= n) {
-      val nl = text.indexOf('\n', lineStart)
+    var lo = 0
+    while (lo <= n) {
+      val nl = text.indexOf('\n', lo)
       val end = if (nl < 0) n else nl
-      if (isBlankLine(text, lineStart, end)) flush()
+      if (isBlankLine(text, lo, end)) flush()
       else {
-        if (curStart < 0) curStart = lineStart
+        if (curStart < 0) curStart = lo
         curEnd = end
-        cur += Span(lineStart, end)
+        scratch.ensureLines(nLines + 1)
+        scratch.lineBuf(nLines) = packLine(lo, end)
+        nLines += 1
       }
-      if (nl < 0) { flush(); lineStart = n + 1 }
-      else lineStart = nl + 1
+      if (nl < 0) { flush(); lo = n + 1 }
+      else lo = nl + 1
     }
     out.result()
   }
@@ -160,17 +182,19 @@ object Blocker {
     var li = 0
     while (li < nLines) {
       val lb = raw.lineBounds(li)
-      nChars += lb.end - lb.start
-      var i = lb.start
-      while (i < lb.end) {
+      val ls = lineStart(lb)
+      val le = lineEnd(lb)
+      nChars += le - ls
+      var i = ls
+      while (i < le) {
         val c = text.charAt(i)
         if (Character.isLetterOrDigit(c)) alnum += 1
         if (c != ' ') { nonSpace += 1; if (isPayloadChar(c)) payload += 1 }
         i += 1
       }
-      linkChars += linkCharsOf(text, lb.start, lb.end)
-      if (allSeparator && !isSeparatorRange(text, lb.start, lb.end)) allSeparator = false
-      if (!hasHeader && startsWithAt(text, HeaderMarker, lb.start, lb.end)) hasHeader = true
+      linkChars += linkCharsOf(text, ls, le)
+      if (allSeparator && !isSeparatorRange(text, ls, le)) allSeparator = false
+      if (!hasHeader && startsWithAt(text, HeaderMarker, ls, le)) hasHeader = true
       li += 1
     }
 
@@ -178,8 +202,10 @@ object Blocker {
       if (allSeparator) BlockKind.Separator
       else if (hasHeader) BlockKind.Header
       else {
-        val b = Block(ordinal, BlockKind.Content, raw.span, nLines, nChars, alnum, linkChars)
-        if (nChars < MinChars || b.textDensity < TextDensityMin || b.linkDensity > LinkDensityMax)
+        // density math inline — no throwaway Block allocation on this path
+        val textDensity = if (nChars == 0) 0.0 else alnum.toDouble / nChars
+        val linkDensity = if (nChars == 0) 0.0 else linkChars.toDouble / nChars
+        if (nChars < MinChars || textDensity < TextDensityMin || linkDensity > LinkDensityMax)
           BlockKind.Boilerplate
         else if (nonSpace > 0 && payload.toDouble / nonSpace >= PayloadRatioMin)
           BlockKind.Content
@@ -189,8 +215,12 @@ object Blocker {
   }
 
   /** Full turn → classified block tree. */
-  def blockTree(text: String): Vector[ClassifiedBlock] = {
-    val raws = splitBlocks(text)
+  def blockTree(text: String): Vector[ClassifiedBlock] =
+    blockTree(text, new Tokenizer.Scratch)
+
+  /** Scratch form for hot partition loops. */
+  def blockTree(text: String, scratch: Tokenizer.Scratch): Vector[ClassifiedBlock] = {
+    val raws = splitBlocks(text, scratch)
     val out = Vector.newBuilder[ClassifiedBlock]
     var i = 0
     raws.foreach { raw => out += classify(raw, i); i += 1 }
@@ -203,11 +233,13 @@ object Blocker {
   def headerText(cb: ClassifiedBlock): String = {
     val text = cb.raw.text
     val bounds = cb.raw.lineBounds
-    val idx = bounds.indexWhere(lb => startsWithAt(text, HeaderMarker, lb.start, lb.end))
-    val marked = text.substring(bounds(idx).start + HeaderMarker.length, bounds(idx).end)
+    val idx = bounds.indexWhere(lb =>
+      startsWithAt(text, HeaderMarker, lineStart(lb), lineEnd(lb)))
+    val marked = text.substring(
+      lineStart(bounds(idx)) + HeaderMarker.length, lineEnd(bounds(idx)))
     val rest = bounds.drop(idx + 1).iterator
-      .filterNot(lb => isSeparatorRange(text, lb.start, lb.end))
-      .map(lb => text.substring(lb.start, lb.end))
+      .filterNot(lb => isSeparatorRange(text, lineStart(lb), lineEnd(lb)))
+      .map(lb => text.substring(lineStart(lb), lineEnd(lb)))
       .toVector
     (marked +: rest).mkString("\n")
   }

@@ -96,6 +96,22 @@ object Catalogs {
   def lookup(catalogId: Int, key: String): Option[String] =
     tables.get(catalogId).flatMap(_.get(key))
 
+  // array-indexed presence probe for the hot parse path: no Option chain,
+  // no per-probe allocation (tables is compile-time data, ids are small)
+  private val tableArr: Array[Map[String, String]] = {
+    val maxId = tables.keys.max
+    val arr = new Array[Map[String, String]](maxId + 1)
+    tables.foreach { case (id, m) => arr(id) = m }
+    arr
+  }
+
+  /** Allocation-free membership probe (the J1 validation test). */
+  def contains(catalogId: Int, key: String): Boolean =
+    catalogId >= 0 && catalogId < tableArr.length && {
+      val m = tableArr(catalogId)
+      m != null && m.contains(key)
+    }
+
   /** A deterministic key that is guaranteed NOT to be in catalog `id` and is a
     * fixed point of the confusion map (used by fixtures to provoke
     * INVALID_VALUE_ON_ZONE). */

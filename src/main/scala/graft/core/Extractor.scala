@@ -29,12 +29,15 @@ object Extractor {
     // offsets are coordinates in the canonical text
     val text = Normalizer.canonicalize(text0)
     val turn = Turn(convId, turnIdx, null, text, null, null)
-    val blocks = Blocker.blockTree(turn.text)
+    val blocks = Blocker.blockTree(turn.text, scratch)
 
     val modules = Vector.newBuilder[ExtractedModule]
     val entities = Vector.newBuilder[EntityRegister]
     val errors = Vector.newBuilder[ExtractionError]
-    val proseTexts = Vector.newBuilder[String]
+    // clean text assembles in ONE buffer (no per-block substring + mkString
+    // double copy — prose dominates transcript bytes, so the saved copy is
+    // the largest per-turn allocation after the output rows)
+    var proseBuf: java.lang.StringBuilder = null
     val proseSpans = Vector.newBuilder[Span]
     var blocksKept = 0
     var rowsTokenized = 0
@@ -72,19 +75,21 @@ object Extractor {
           var rowOrdinal = 0
           val text = turn.text
           cb.raw.lineBounds.foreach { lb =>
+            val ls = Blocker.lineStart(lb)
+            val le = Blocker.lineEnd(lb)
             var payloadChars = 0
-            var ci = lb.start
-            while (ci < lb.end) { if (text.charAt(ci) != ' ') payloadChars += 1; ci += 1 }
+            var ci = ls
+            while (ci < le) { if (text.charAt(ci) != ' ') payloadChars += 1; ci += 1 }
             if (payloadChars >= Tokenizer.MinRowChars &&
-                !Blocker.isSeparatorRange(text, lb.start, lb.end)) {
+                !Blocker.isSeparatorRange(text, ls, le)) {
               rowsTokenized += 1
-              val slices = Tokenizer.tokenizeRow(text, lb.start, lb.end, lb.start, scratch)
+              val slices = Tokenizer.tokenizeRow(text, ls, le, ls, scratch)
               if (slices.length > ModuleParser.MaxModulesPerRow) {
                 // Row cap — diary_module_parser.py:122-124.
                 errors += ExtractionError(
                   turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal, -1,
                   ErrorCode.ModulesNumberExceeded, -1, slices.length.toString,
-                  text.substring(lb.start, lb.end))
+                  text.substring(ls, le))
               } else {
                 slices.foreach { s =>
                   ModuleParser.parseModule(s.ordinal, s.str, ctx) match {
@@ -108,7 +113,9 @@ object Extractor {
           blocksKept += 1
           // block lines are contiguous (single '\n' separators), so the raw
           // span slice equals the lines joined by '\n'
-          proseTexts += turn.text.substring(b.span.start, b.span.end)
+          if (proseBuf == null) proseBuf = new java.lang.StringBuilder(b.span.length)
+          else proseBuf.append("\n\n")
+          proseBuf.append(turn.text, b.span.start, b.span.end)
           proseSpans += b.span
 
         case _ => // separator / boilerplate: dropped
@@ -117,7 +124,7 @@ object Extractor {
 
     val clean = CleanTurn(
       turn.conv_id, turn.turn_idx,
-      proseTexts.result().mkString("\n\n"), proseSpans.result(),
+      if (proseBuf == null) "" else proseBuf.toString, proseSpans.result(),
       n_blocks_total = blocks.length, n_blocks_kept = blocksKept)
 
     TurnExtraction(

@@ -93,11 +93,37 @@ object Grammar {
   /** Resolve the module type of a raw module string; None = unrecognized. */
   def moduleType(moduleStr: String): Option[String] = {
     val m = rewritePrefix(moduleStr)
-    typesByLength.find(m.startsWith)
+    var i = 0
+    while (i < typesByLength.length) { // no iterator/closure on the hot path
+      if (m.startsWith(typesByLength(i))) return Some(typesByLength(i))
+      i += 1
+    }
+    None
   }
 
-  private val digitFix = Map('O' -> '0', 'Z' -> '2', 'S' -> '5', 'G' -> '6', 'T' -> '7')
-  private val alphaFix = Map('2' -> 'Z', '6' -> 'G', '8' -> 'B', '0' -> 'O', '1' -> 'I')
+  // char fixes as unboxed match functions + copy-on-write application: the
+  // parse path calls these per zone on mostly-clean input; `String.map` over
+  // a Map[Char, Char] would box every char AND allocate a new string even
+  // when nothing changes (measured ~1.8 KB/turn in the parse stage)
+  private def digitFixChar(c: Char): Char = (c: @annotation.switch) match {
+    case 'O' => '0'; case 'Z' => '2'; case 'S' => '5'; case 'G' => '6'
+    case 'T' => '7'; case _ => c
+  }
+  private def alphaFixChar(c: Char): Char = (c: @annotation.switch) match {
+    case '2' => 'Z'; case '6' => 'G'; case '8' => 'B'; case '0' => 'O'
+    case '1' => 'I'; case _ => c
+  }
+
+  /** Apply a char fix copy-on-write: returns the SAME string when clean. */
+  private def mapCharsCow(s: String, f: Char => Char): String = {
+    val n = s.length
+    var i = 0
+    while (i < n && f(s.charAt(i)) == s.charAt(i)) i += 1
+    if (i == n) return s
+    val arr = s.toCharArray
+    while (i < n) { arr(i) = f(arr(i)); i += 1 }
+    new String(arr)
+  }
 
   /** Catalog-3 (places) bigram + char fixes — diary_module_parser.py:82-85.
     * The reference stores these in one Python dict (hash iteration order);
@@ -110,7 +136,9 @@ object Grammar {
     "U5" -> "US", "5I" -> "SI", "5L" -> "SL", "5O" -> "50", "8C" -> "BC",
     "T8" -> "TB", "OF" -> "DF", "6T" -> "GT", "VU" -> "YU"
   )
-  private val placesChars = Map('0' -> 'O', '1' -> 'I')
+  private def placesChar(c: Char): Char = (c: @annotation.switch) match {
+    case '0' => 'O'; case '1' => 'I'; case _ => c
+  }
 
   private val digitCatalogs: Set[Int] =
     Set(2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16, 17, 18, 19, 20, 21, 22, 23, 24,
@@ -120,28 +148,31 @@ object Grammar {
   /** Per-catalog confusion fix (diary_module_parser.py:81-114,292-298). */
   def fixKnownIssues(catalogId: Int, zoneStr: String): String = {
     if (catalogId == 3) {
-      val afterChars = zoneStr.map(c => placesChars.getOrElse(c, c))
+      val afterChars = mapCharsCow(zoneStr, placesChar)
+      // java.lang.String.replace returns `this` when the target is absent —
+      // the fold stays allocation-free on clean input
       placesBigrams.foldLeft(afterChars) { case (s, (bad, good)) =>
         s.replace(bad, good)
       }
     } else if (digitCatalogs.contains(catalogId)) {
-      zoneStr.map(c => digitFix.getOrElse(c, c))
+      mapCharsCow(zoneStr, digitFixChar)
     } else if (alphaCatalogs.contains(catalogId)) {
-      zoneStr.map(c => alphaFix.getOrElse(c, c))
+      mapCharsCow(zoneStr, alphaFixChar)
     } else zoneStr
   }
 
+  private def yearFixChar(c: Char): Char = (c: @annotation.switch) match {
+    case 'O' => '0'; case 'S' => '5'; case 'I' => '1'; case 'G' => '6'
+    case _ => c
+  }
+
   /** Year confusion fix (diary_module_parser.py:253-255). */
-  def fixYear(s: String): String =
-    s.map {
-      case 'O' => '0'
-      case 'S' => '5'
-      case 'I' => '1'
-      case 'G' => '6'
-      case c => c
-    }
+  def fixYear(s: String): String = mapCharsCow(s, yearFixChar)
+
+  private def entityFixChar(c: Char): Char = (c: @annotation.switch) match {
+    case '_' => '0'; case 'O' => '0'; case _ => c
+  }
 
   /** Entity-FK confusion fix (diary_module_parser.py:270-271). */
-  def fixEntityId(s: String): String =
-    s.map { case '_' => '0'; case 'O' => '0'; case c => c }
+  def fixEntityId(s: String): String = mapCharsCow(s, entityFixChar)
 }

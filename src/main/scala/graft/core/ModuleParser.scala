@@ -24,7 +24,10 @@ object ModuleParser {
 
   final case class ZoneError(code: String, catalogId: Int, zoneStr: String)
 
-  final case class ParsedModule(moduleType: String, zones: Vector[String])
+  // zones ride as an exact-size array (wrapped immutable) — the hot path
+  // emits millions of these; a Vector's tree nodes per module are pure
+  // memory-system pressure (BENCH/BASELINE.md §3)
+  final case class ParsedModule(moduleType: String, zones: Seq[String])
 
   /** entityIds: the broadcast entity (annuary) key set for FK resolution
     * (J2 — diary_module_parser.py:268-290). skipRules: tolerated zone
@@ -51,20 +54,25 @@ object ModuleParser {
         Left(ZoneError(ErrorCode.ModuleTypeNotRecognized, -1, moduleStr))
       case Some(tpe) =>
         val zones = Grammar.moduleZones(tpe)
-        val out = Vector.newBuilder[String]
+        val out = new Array[String](zones.length)
+        var zi = 0
         var index = tpe.length
-        for ((catalogId, width) <- zones) {
+        var rest = zones
+        while (rest.nonEmpty) {
+          val (catalogId, width) = rest.head
+          rest = rest.tail
           val end = math.min(index + width, moduleStr.length)
           val zoneStr = if (index >= moduleStr.length) "" else moduleStr.substring(index, end)
           parseZone(catalogId, zoneStr, ctx) match {
-            case Right(v) => out += v
+            case Right(v) => out(zi) = v
             case Left(e) =>
-              if (ctx.shouldSkip(moduleOrdinal, e)) out += zoneStr
+              if (ctx.shouldSkip(moduleOrdinal, e)) out(zi) = zoneStr
               else return Left(e)
           }
           index += width
+          zi += 1
         }
-        Right(ParsedModule(tpe, out.result()))
+        Right(ParsedModule(tpe, scala.collection.immutable.ArraySeq.unsafeWrapArray(out)))
     }
   }
 
@@ -79,10 +87,8 @@ object ModuleParser {
 
     val catalogId = if (catalogId0 == 27) 9 else catalogId0 // alias :227-228
     val fixed = Grammar.fixKnownIssues(catalogId, zoneStr)
-    Catalogs.lookup(catalogId, fixed) match {
-      case Some(_) => Right(fixed)
-      case None => Left(ZoneError(ErrorCode.InvalidValueOnZone, catalogId0, fixed))
-    }
+    if (Catalogs.contains(catalogId, fixed)) Right(fixed)
+    else Left(ZoneError(ErrorCode.InvalidValueOnZone, catalogId0, fixed))
   }
 
   /** Year zone (diary_module_parser.py:251-266): confusion fix, '_' passthrough

@@ -90,16 +90,21 @@ object Tokenizer {
   final case class ModuleSlice(ordinal: Int, str: String, span: Span)
 
   /** Reusable per-partition scratch buffers for the fused tokenize+slice
-    * path. Thread-confined: create one per mapPartitions invocation. */
+    * path and the block splitter's packed line bounds. Thread-confined:
+    * create one per mapPartitions invocation. */
   final class Scratch {
     var buf: Array[Char] = new Array[Char](256)
     var offs: Array[Int] = new Array[Int](256)
+    var lineBuf: Array[Long] = new Array[Long](64)
     def ensure(n: Int): Unit =
       if (buf.length < n) {
         val cap = math.max(n, buf.length * 2)
         buf = new Array[Char](cap)
         offs = new Array[Int](cap)
       }
+    def ensureLines(n: Int): Unit =
+      if (lineBuf.length < n)
+        lineBuf = java.util.Arrays.copyOf(lineBuf, math.max(n, lineBuf.length * 2))
   }
 
   /** Fused tokenize+slice: identical semantics to

@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.core._
+import graft.fixtures.TranscriptGen
+
+/** Single-thread allocation-per-turn probe (ThreadMXBean allocated bytes):
+  * the scaling bottleneck on one box is memory-system pressure, so the
+  * allocation diet is measured directly, per pipeline stage. */
+object AllocProbe {
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.nonEmpty) args(0).toInt else 3000
+    val ctx = ModuleParser.defaultContext(TranscriptGen.allEntityIds)
+    val turns = TranscriptGen.corpus(TranscriptGen.DefaultSeed, nConvs).toArray
+    println(s"turns: ${turns.length}")
+
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+
+    def measure(label: String)(f: => Unit): Unit = {
+      f // warm
+      System.gc()
+      val a0 = mx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val bytes = mx.getThreadAllocatedBytes(tid) - a0
+      println(f"$label: ${bytes.toDouble / turns.length}%.0f B/turn, " +
+        f"${turns.length / secs}%.0f turns/s (1 thread)")
+    }
+
+    val scratch = new Tokenizer.Scratch
+    measure("extract (shared scratch)") {
+      turns.foreach(t => Extractor.extract(t.conv_id, t.turn_idx, t.text, ctx, scratch))
+    }
+    measure("blockTree only") {
+      turns.foreach(t => Blocker.blockTree(t.text, scratch))
+    }
+    measure("splitBlocks only") {
+      turns.foreach(t => Blocker.splitBlocks(t.text, scratch))
+    }
+    // tokenize + parse over the content rows only
+    val contentRows: Array[(String, Int, Int)] = turns.flatMap { t =>
+      Blocker.blockTree(t.text, scratch).collect {
+        case cb if cb.block.kind == BlockKind.Content =>
+          cb.raw.lineBounds.map(lb =>
+            (t.text, Blocker.lineStart(lb), Blocker.lineEnd(lb)))
+      }.flatten
+    }
+    println(s"content rows: ${contentRows.length}")
+    measure("tokenizeRow only") {
+      contentRows.foreach { case (text, lo, hi) =>
+        Tokenizer.tokenizeRow(text, lo, hi, lo, scratch)
+      }
+    }
+    measure("tokenize+parse") {
+      contentRows.foreach { case (text, lo, hi) =>
+        Tokenizer.tokenizeRow(text, lo, hi, lo, scratch)
+          .foreach(s => ModuleParser.parseModule(s.ordinal, s.str, ctx))
+      }
+    }
+  }
+}
