@@ -384,10 +384,35 @@ object SparkEntry {
       ExtractPipeline.zoneAudit(deduped, ExtractPipeline.catalogDim(s))
         .groupBy(col("catalog_id"))
         .agg(count(lit(1)).as("zones"), sum(when(col("hit"), 1).otherwise(0)).as("hits"))
+    }),
+
+    "q50_dedup_modules_planted" -> ((s, dir) => {
+      // A6 under REAL collapse pressure: the synthetic corpus happens to
+      // produce globally-unique module payloads (counts.json: q20 raw ==
+      // distinct), so q20's dedup is a no-op there. Here every turn is
+      // planted again at turn_idx+100000 — same conv, same text, later
+      // ordinal — and first-wins dedup must collapse every copy, keeping
+      // exactly the q20 winners. Oracle: SQL row_number over the raw
+      // planted module table.
+      ExtractPipeline.ordered(
+        ExtractPipeline.dedupModules(plantedModules(s, dir)))
+        .withColumn("zones", concat_ws("|", col("zones")))
     })
   )
 
   // ---- oracle-side materializations -----------------------------------------
+
+  /** Raw (un-deduped) modules of a corpus where every turn also appears a
+    * second time at turn_idx + 100000 — intra-conversation duplicates with
+    * strictly later order keys, so first-wins dedup must drop ALL copies. */
+  private def plantedModules(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
+      s.sparkContext.defaultParallelism)
+    val dup = turns.map(t => t.copy(turn_idx = t.turn_idx + 100000))
+    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+    ExtractPipeline.modules(ExtractPipeline.extract(turns.union(dup), ctx))
+  }
 
   private def plantedDocs(s: SparkSession, dir: String): DataFrame =
     withPlantedTextDups(load(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -418,6 +443,10 @@ object SparkEntry {
       ExtractPipeline.errors(runExtraction(s, dir)).toDF()),
     "ext_entities" -> ((s, dir) =>
       ExtractPipeline.headerEntities(runExtraction(s, dir)).toDF()),
+    "ext_modules_planted" -> ((s, dir) =>
+      plantedModules(s, dir).toDF()
+        .withColumn("module",
+          concat_ws("|", col("module_type"), concat_ws("|", col("zones"))))),
     "ext_errors_after" -> ((s, dir) => skipRuleOutcome(s, dir)._2.toDF()),
     "skip_rules" -> ((s, dir) => {
       import s.implicits._
@@ -612,6 +641,14 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, module
          |    ORDER BY turn_idx, block_ordinal, row_ordinal, module_ordinal) AS rn
          |  FROM ${t("ext_modules")}) d
+         |WHERE rn = 1""".stripMargin,
+    "q50_dedup_modules_planted" ->
+      s"""SELECT conv_id, turn_idx, block_ordinal, row_ordinal, module_ordinal,
+         |  module_type, array_to_string(zones, '|') AS zones, module_str,
+         |  span_start, span_end, module
+         |FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, module
+         |    ORDER BY turn_idx, block_ordinal, row_ordinal, module_ordinal) AS rn
+         |  FROM ${t("ext_modules_planted")}) d
          |WHERE rn = 1""".stripMargin,
     "q21_extract_clean_text" ->
       s"""SELECT conv_id, turn_idx, clean_text, n_blocks_total, n_blocks_kept

@@ -92,6 +92,17 @@ class SparkPipelineSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
   }
 
+  test("q50 planted-duplicate dedup collapses to exactly the q20 winners") {
+    // the planted corpus duplicates every turn at turn_idx+100000; first-wins
+    // dedup must therefore emit exactly the un-planted result
+    val q20 = SparkEntry.queries("q20_extract_modules")(spark, "sf0.001")
+      .collect().map(_.toString).sorted
+    val q50 = SparkEntry.queries("q50_dedup_modules_planted")(spark, "sf0.001")
+      .collect().map(_.toString).sorted
+    assert(q20.nonEmpty)
+    assert(q20.toSeq == q50.toSeq)
+  }
+
   test("dedup idempotence: re-ingesting own output is a no-op") {
     import spark.implicits._
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
