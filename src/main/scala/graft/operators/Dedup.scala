@@ -48,6 +48,11 @@ object Dedup {
     * standalone so the verify stage can be independently re-checked (the
     * DuckDB oracle recomputes exact Jaccard over exactly this pair set).
     *
+    * PRECONDITION at scale: collapse EXACT duplicates first (dedupCorpus
+    * does) — a mass-duplicated text puts its whole copy set into one band
+    * bucket and the self-join goes quadratic in the copy count. The same
+    * applies to simhashCandidates/embeddingCandidates.
+    *
     * Signature+banding run in ONE typed pass per document (HashCore):
     * the pure-Column formulation re-evaluates the shingle/hash chain per
     * permutation after projection collapse — measured 70× slower. The only

@@ -70,6 +70,18 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("NO query plan contains an unpartitioned window over row-scaled input") {
+    // the round-1 verdict's scale-killer class: Window.orderBy with no
+    // partitionBy funnels every row through one task. Gate: every shipped
+    // query's optimized plan must be free of empty-partition-spec windows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$name has an unpartitioned Window: ${bad.headOption}")
+    }
+  }
+
   test("dedup uses partial aggregation (map-side combine), not a window") {
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val turns = ExtractPipeline.transcripts(spark, 50L, 4)

@@ -401,4 +401,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.decoded))
     assert(feats.map(f => (f.width, f.height)).toSeq == Seq((64, 64), (67, 64)))
   }
+
+  test("resize: aspect-preserving thumbnails, deterministic pixels, a/v dropped") {
+    val docs = Seq((0L, "img"), (1L, "aud"), (3L, "img2")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeMedia(docs, spark)
+    val thumbs = Multimodal.resizeImages(media, 16, 16).collect().sortBy(_.doc_id)
+    assert(thumbs.map(_.doc_id).toSeq == Seq(0L, 3L)) // audio row dropped
+    // 64x64 -> 16x16; 67x64 -> fit within 16 preserving aspect (15x14... check)
+    val t0 = thumbs(0)
+    assert((t0.width, t0.height) == (16, 16))
+    val t3 = thumbs(1)
+    assert(t3.width <= 16 && t3.height <= 16 && t3.width >= t3.height)
+    // determinism: identical bytes across runs
+    val again = Multimodal.resizeImages(
+      Multimodal.synthesizeMedia(docs, spark), 16, 16).collect().sortBy(_.doc_id)
+    assert(again(0).png.toSeq == t0.png.toSeq)
+    // the thumbnail decodes back to its own dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t0.png))
+    assert(back.getWidth == 16 && back.getHeight == 16)
+    // nearest-neighbor spot check: thumb(0,0) == source(0,0)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      media.collect().find(_.doc_id == 0L).get.media))
+    assert((back.getRGB(0, 0) & 0xffffff) == (src.getRGB(0, 0) & 0xffffff))
+  }
 }
