@@ -72,10 +72,18 @@ object ResumableExtract {
         val modCount = writeBucket(modules, s"$outDir/modules", b)
         val errCount = writeBucket(errors.toDF(), s"$outDir/errors", b)
 
-        // commit: the manifest row lands only after the bucket's data
+        // commit: the manifest row lands only after the bucket's data, and
+        // lands ATOMICALLY (write-temp + rename) — a crash mid-write must
+        // not leave a half-manifest that readModules/committedBuckets would
+        // take as a commit. This is the file-level analog of an Iceberg
+        // snapshot commit.
         val json =
           s"""{"bucket":$b,"turns":$turnCount,"modules":$modCount,"errors":$errCount,"watermark":"complete"}"""
-        Files.writeString(manifestPath(outDir, b), json)
+        val target = manifestPath(outDir, b)
+        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+        Files.writeString(tmp, json)
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         BucketResult(b, turnCount, modCount, errCount)
       } finally ex.unpersist()
     }

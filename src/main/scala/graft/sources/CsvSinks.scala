@@ -50,4 +50,53 @@ object CsvSinks {
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, entityCsv(ds.collect().toSeq).getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Scale-safe variant of the entity sink: NO driver collect. Rows are
+    * range-partitioned on the sort key and formatted per partition, so each
+    * task writes one shard and the shards concatenate (in part-file order)
+    * to exactly `entityCsv` of the whole dataset. Header rides in a `_header`
+    * file; `assembleCsv` concatenates header + sorted shards when a single
+    * blessed file is wanted (the tiny final cat is I/O-bound, not a driver
+    * materialization of the dataset). */
+  def writeEntityCsvDistributed(ds: Dataset[EntityRegister], dir: String,
+      partitions: Int = 0): Unit = {
+    val spark = ds.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    Files.createDirectories(Paths.get(dir))
+    ds.repartitionByRange(p, col("num_id"))
+      .sortWithinPartitions("num_id")
+      .mapPartitions { it =>
+        val sb = new StringBuilder
+        it.foreach { r =>
+          sb ++= s"${r.num_id},${q(r.text_id)},${q(r.name)},${q(r.kind)},${q(r.info)}\r\n"
+        }
+        // the text() writer terminates each record with '\n': emit the shard
+        // minus its final '\n' so the writer restores the exact CRLF bytes;
+        // empty partitions emit nothing (no stray newline)
+        if (sb.isEmpty) Iterator.empty
+        else Iterator.single(sb.substring(0, sb.length - 1))
+      }
+      .write.mode("overwrite").text(s"$dir/shards")
+    Files.write(Paths.get(dir, "_header"),
+      (Seq("num_id", "text_id", "name", "type", "info").map(q).mkString(",") + "\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Concatenate a writeEntityCsvDistributed directory to one file. */
+  def assembleCsv(dir: String, outFile: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val out = Paths.get(outFile)
+    if (out.getParent != null) Files.createDirectories(out.getParent)
+    val shards = Files.list(Paths.get(dir, "shards")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val os = Files.newOutputStream(out)
+    try {
+      os.write(Files.readAllBytes(Paths.get(dir, "_header")))
+      shards.foreach(s => os.write(Files.readAllBytes(s)))
+    } finally os.close()
+  }
 }

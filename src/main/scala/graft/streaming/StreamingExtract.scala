@@ -52,6 +52,56 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming first-wins entity dedup — the stateful-streaming twin of the
+    * reference's `add_register` (insert iff key absent,
+    * /root/reference/src/annuary/annuary_data.py:91-96) and of the batch
+    * `dedupEntities`: per num_id, the first micro-batch to carry the key
+    * emits exactly one register (ties WITHIN a batch resolved by the same
+    * salvage-aware total order as batch dedup, so a real register beats a
+    * salvaged minimal one arriving together); every later arrival is
+    * dropped. `flatMapGroupsWithState` with a one-boolean state per key —
+    * the custom-state primitive the engine uses where windowed aggregation
+    * can't express "keep the first forever". State is one boolean per
+    * distinct entity id (≤ 9850 here); for unbounded key spaces, bound it
+    * with a GroupStateTimeout appropriate to the source's replay horizon. */
+  def firstWinsEntityStream(entities: Dataset[EntityRegister]): Dataset[EntityRegister] = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    entities.groupByKey(_.num_id)
+      .flatMapGroupsWithState[Boolean, EntityRegister](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[EntityRegister], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.reduceOption((a, b) =>
+              if (ExtractPipeline.lt(a, b)) a else b).iterator
+          }
+      }
+  }
+
+  /** Streaming already-read skip — the J4 resume prune for at-least-once
+    * sources: a (conv_id, turn_idx) pair passes the FIRST time it is seen,
+    * replays are dropped, making downstream extraction exactly-once per
+    * turn. Keyed per turn (one boolean of state each) so a
+    * mega-conversation never concentrates state on one key. */
+  def dedupTurnsStream(turns: Dataset[Turn]): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    turns.groupByKey(t => (t.conv_id, t.turn_idx))
+      .flatMapGroupsWithState[Boolean, Turn](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, Int), rows: Iterator[Turn], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+          }
+      }
+  }
+
   /** Watermarked per-conversation tumbling-window metrics: modules extracted
     * per conversation per minute of event time, tolerating `lateness` of
     * out-of-order turns — the streaming form of the metrics table (X1). */

@@ -149,6 +149,22 @@ class CsvRoundTripSpec extends AnyFunSuite {
     assert(csv.split("\r\n")(1) == "8,'D|P|98|7|PU|17|_'")
   }
 
+  test("distributed entity CSV sink is byte-identical to the driver sink") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i =>
+      EntityRegister(i, f"T$i%03d", s"NAME. N$i", if (i < 150) "person" else "community",
+        if (i % 7 == 0) s"($i)" else "")) ++ Seq(
+      EntityRegister(500, "QQ", "O'HARA", "person", "")) // quotechar doubling
+    val shuffled = new scala.util.Random(3).shuffle(rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcsv").toString
+    CsvSinks.writeEntityCsvDistributed(shuffled.toDS().repartition(6), s"$dir/d",
+      partitions = 5)
+    CsvSinks.assembleCsv(s"$dir/d", s"$dir/assembled.csv")
+    val distributed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "assembled.csv"))
+    assert(distributed == CsvSinks.entityCsv(rows))
+  }
+
   test("CSV source round-trips the sink with first-wins dedup on load") {
     val rows = Seq(
       EntityRegister(1, "AM", "ACOSTA. MIGUEL M.", "person", ""),

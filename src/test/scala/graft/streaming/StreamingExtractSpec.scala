@@ -35,6 +35,58 @@ class StreamingExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful first-wins entity dedup across micro-batches (A5 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EntityRegister]
+    val q = StreamingExtract.firstWinsEntityStream(stream.toDS())
+      .writeStream.format("memory").queryName("stream_entities")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: id 7 arrives twice (salvaged + real) — real must win the
+      // within-batch tie by the same total order as batch dedup
+      stream.addData(Seq(
+        EntityRegister(7, "", "", "person", ""), // salvaged minimal
+        EntityRegister(7, "AA", "ALPHA", "person", "")))
+      q.processAllAvailable()
+      // batch 2: id 7 again (must be dropped — first wins forever) + id 8
+      stream.addData(Seq(
+        EntityRegister(7, "ZZ", "IMPOSTOR", "person", ""),
+        EntityRegister(8, "BB", "BETA", "person", "")))
+      q.processAllAvailable()
+      val out = spark.table("stream_entities").as[EntityRegister]
+        .collect().sortBy(_.num_id)
+      assert(out.toSeq == Seq(
+        EntityRegister(7, "AA", "ALPHA", "person", ""),
+        EntityRegister(8, "BB", "BETA", "person", "")))
+    } finally q.stop()
+  }
+
+  test("stateful turn dedup makes an at-least-once source exactly-once (J4 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val turns = TranscriptGen.corpus(TranscriptGen.DefaultSeed, 3)
+    val stream = MemoryStream[Turn]
+    val q = StreamingExtract.extractStream(
+      StreamingExtract.dedupTurnsStream(stream.toDS()), ctx)
+      .writeStream.format("memory").queryName("stream_dedup_modules")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(turns.take(8))
+      q.processAllAvailable()
+      stream.addData(turns) // replays the first 8 + the rest
+      q.processAllAvailable()
+      stream.addData(turns.take(5)) // replay again
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup_modules").as[ExtractedModule]
+        .collect()
+      val batch = turns.flatMap(t => Extractor.extractTurn(t, ctx).modules)
+      // exactly-once: multiset equality, not just set equality
+      assert(streamed.groupBy(identity).view.mapValues(_.size).toMap ==
+        batch.groupBy(identity).view.mapValues(_.size).toMap)
+    } finally q.stop()
+  }
+
   test("watermarked windowed metrics aggregate per conversation per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
