@@ -63,12 +63,15 @@ object ExtractJob {
       ExtractPipeline.partitionMetrics(ex).toDF()
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
 
-      // 4. blessed CSV of the extracted entity registers (fixture format)
-      CsvSinks.writeEntityCsv(incoming, s"$outDir/entities.csv")
+      // 4. blessed CSV of the extracted entity registers (fixture format) —
+      // the scale-safe sink: per-partition shards, no driver collect; the
+      // final assembly is a byte concatenation
+      CsvSinks.writeEntityCsvDistributed(incoming, s"$outDir/entities_csv")
+      CsvSinks.assembleCsv(s"$outDir/entities_csv", s"$outDir/entities.csv")
       incoming.unpersist()
     } finally ex.unpersist()
 
-    val mods = ResumableExtract.readModules(spark, outDir).count()
+    val mods = ResumableExtract.readModules(spark, outDir, buckets).count()
     println(s"[job] done: $mods modules committed under $outDir")
     spark.stop()
   }
