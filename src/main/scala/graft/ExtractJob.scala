@@ -71,7 +71,7 @@ object ExtractJob {
       incoming.unpersist()
     } finally ex.unpersist()
 
-    val mods = ResumableExtract.readModules(spark, outDir, buckets).count()
+    val mods = ResumableExtract.readModules(spark, outDir).count()
     println(s"[job] done: $mods modules committed under $outDir")
     spark.stop()
   }

@@ -52,16 +52,30 @@ object SparkEntry {
     * (ext_errors_after / skip_rules must describe the SAME run the q28
     * result aggregates). Rule derivation is distributed
     * (ExtractPipeline.deriveSkipRules) — raw error rows are never collected.
-    * Cached per (session, sfDir): the loop re-extracts up to 4×. */
+    * Cached per session (weak keys: a stopped session's entry — and its
+    * persisted datasets — become collectable instead of pinned for the JVM
+    * lifetime) and per sfDir; the loop re-extracts up to 4×. */
   private val skipOutcomeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (org.apache.spark.sql.Dataset[ExtractionError],
-       org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String,
+        (org.apache.spark.sql.Dataset[ExtractionError],
+         org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])]]())
 
   def skipRuleOutcome(s: SparkSession, dir: String)
       : (org.apache.spark.sql.Dataset[ExtractionError],
-         org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule]) =
-    skipOutcomeCache.computeIfAbsent((s, dir), { _ =>
+         org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule]) = skipOutcomeCache.synchronized {
+    val perSession = {
+      val existing = skipOutcomeCache.get(s)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.mutable.Map.empty[String,
+          (org.apache.spark.sql.Dataset[ExtractionError],
+           org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])]
+        skipOutcomeCache.put(s, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(dir, {
       val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
         s.sparkContext.defaultParallelism)
       val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -91,6 +105,7 @@ object SparkEntry {
       }
       (firstErrors, lastErrors, rules)
     })
+  }
 
   /** Flagship query on sf=0.001-equivalent synthetic transcripts; driver
     * smoke-checks rows>0: the deduped, ordered extracted-module table. */

@@ -47,12 +47,13 @@ object Extractor {
       b.kind match {
         case BlockKind.Header =>
           blocksKept += 1
-          EntityParser.parse(Blocker.headerText(cb)) match {
+          val headerStr = Blocker.headerText(cb)
+          EntityParser.parse(headerStr) match {
             case Right(reg) => entities += reg
             case Left(f) =>
               errors += ExtractionError(
                 turn.conv_id, turn.turn_idx, b.ordinal, -1, -1,
-                f.code, -1, f.detail, Blocker.headerText(cb))
+                f.code, -1, f.detail, headerStr)
               // M10 salvage (diary_ocr.py:174-189): a garbled header that
               // still yields a numeric id resolving against the known entity
               // universe produces a minimal fixable register (empty
@@ -60,7 +61,7 @@ object Extractor {
               // alongside the dead-letter row. BAD_NUMERIC_ID is excluded,
               // as in the reference.
               if (f.code != ErrorCode.BadNumericId) {
-                EntityParser.parseNumIdOnly(Blocker.headerText(cb)) match {
+                EntityParser.parseNumIdOnly(headerStr) match {
                   case Right(id) if ctx.entityIds(id) =>
                     entities += EntityRegister(id, "", "",
                       if (id < EntityParser.CommunityStartId) "person"

@@ -217,13 +217,16 @@ object ExtractPipeline {
     *
     * `repartitionByRange` runs a SAMPLING job over its input to pick range
     * bounds — an expensive upstream (extract + dedup) would execute twice.
-    * The input is therefore persisted for the duration of the sort; callers
-    * consume the result eagerly (fixture sinks), after which the executor
-    * cache is dropped naturally with the session. At petabyte scale the
-    * fixture-mode global sort is not used at all — ResumableExtract's
-    * bucketed, sorted-within-bucket output is the scale sink. */
+    * The input is therefore materialized once with an eager localCheckpoint:
+    * unlike persist(), the blocks are freed by the ContextCleaner when the
+    * plan is GC'd instead of living in the CacheManager for the session
+    * (Bench runs each query 3×; leaked pins would stack). Trade-off: a lost
+    * executor fails the query instead of recomputing — acceptable for the
+    * fixture-mode global sort; at petabyte scale this sink is not used at
+    * all — ResumableExtract's bucketed, sorted-within-bucket output is the
+    * scale sink. */
   def ordered(df: DataFrame): DataFrame = {
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = df.localCheckpoint()
     pinned.repartitionByRange(col("conv_id"), col("turn_idx"), col("block_ordinal"),
         col("row_ordinal"), col("module_ordinal"))
       .sortWithinPartitions("conv_id", "turn_idx", "block_ordinal",
@@ -278,9 +281,12 @@ object ExtractPipeline {
     import spark.implicits._
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    // persist across repartitionByRange's range-sampling pass (see ordered())
+    // materialize once (eager localCheckpoint) so repartitionByRange's
+    // range-sampling pass doesn't recompute the upstream extraction; unlike
+    // persist(), checkpoint blocks are released by the ContextCleaner when
+    // the plan is garbage collected — no session-lifetime cache entry
     val pinned = clean.select(col("conv_id"), col("turn_idx"), col("clean_text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val segs = pinned
       .repartitionByRange(p, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")
@@ -347,10 +353,6 @@ object ExtractPipeline {
 
   // ---- SQL-facing validation variant (J1 as a broadcast join) -----------------
 
-  /** Re-validate extracted zones against the catalog dimension with an
-    * explicit broadcast join — the DataFrame form of the catalog probe, used
-    * to demonstrate/exercise the broadcast-hash-join path and to audit the
-    * in-extractor validation. Returns zone-level rows with a `hit` flag. */
   /** The grammar's (module_type, zone_idx, catalog_id) layout as a dimension
     * DataFrame (27→9 alias applied, as parse_zone does). */
   def layoutDim(spark: SparkSession): DataFrame = {
@@ -362,6 +364,10 @@ object ExtractPipeline {
     }.toDF("module_type", "zone_idx", "catalog_id")
   }
 
+  /** Re-validate extracted zones against the catalog dimension with an
+    * explicit broadcast join — the DataFrame form of the catalog probe, used
+    * to demonstrate/exercise the broadcast-hash-join path and to audit the
+    * in-extractor validation. Returns zone-level rows with a `hit` flag. */
   def zoneAudit(modsDeduped: DataFrame, catalogs: DataFrame): DataFrame = {
     val zones = modsDeduped
       .select(col("conv_id"), col("turn_idx"), col("module_type"),

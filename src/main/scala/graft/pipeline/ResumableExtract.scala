@@ -39,6 +39,27 @@ object ResumableExtract {
   def committedBuckets(outDir: String, buckets: Int): Set[Int] =
     (0 until buckets).filter(b => Files.exists(manifestPath(outDir, b))).toSet
 
+  /** ALL committed buckets, discovered by listing the manifest directory —
+    * never by probing a caller-supplied bucket count, which would silently
+    * truncate the read when it is smaller than the writing run's count. */
+  def committedBucketList(outDir: String): Seq[Int] = {
+    val dir = Paths.get(outDir, "_manifest")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val stream = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect {
+            case n if n.startsWith("bucket-") && n.endsWith(".json") =>
+              n.stripPrefix("bucket-").stripSuffix(".json").toInt
+          }
+          .toSeq.sorted
+      } finally stream.close()
+    }
+  }
+
   /** Run (or resume) the extraction over `turns`, writing per-bucket module
     * output + manifest rows under `outDir`. Returns per-bucket results of
     * the buckets processed in THIS run (committed buckets are skipped). */
@@ -98,9 +119,11 @@ object ResumableExtract {
   /** Read back the combined COMMITTED output: only bucket directories whose
     * manifest row landed are scanned, so a crash between a bucket's data
     * write and its manifest commit never leaks uncommitted rows into the
-    * read (the resume run overwrites that bucket's directory). */
-  def readModules(spark: SparkSession, outDir: String, buckets: Int = 8): DataFrame = {
-    val committed = committedBuckets(outDir, buckets).toSeq.sorted
+    * read (the resume run overwrites that bucket's directory). The committed
+    * set comes from the manifest listing itself — no bucket-count parameter
+    * to get wrong. */
+  def readModules(spark: SparkSession, outDir: String): DataFrame = {
+    val committed = committedBucketList(outDir)
     require(committed.nonEmpty, s"no committed buckets under $outDir")
     val dirs = committed.map(b => f"$outDir/modules/bucket=$b%05d")
     spark.read.option("basePath", s"$outDir/modules").parquet(dirs: _*)

@@ -68,17 +68,10 @@ object CsvSinks {
     Files.createDirectories(Paths.get(dir))
     ds.repartitionByRange(p, col("num_id"))
       .sortWithinPartitions("num_id")
-      .mapPartitions { it =>
-        val sb = new StringBuilder
-        it.foreach { r =>
-          sb ++= s"${r.num_id},${q(r.text_id)},${q(r.name)},${q(r.kind)},${q(r.info)}\r\n"
-        }
-        // the text() writer terminates each record with '\n': emit the shard
-        // minus its final '\n' so the writer restores the exact CRLF bytes;
-        // empty partitions emit nothing (no stray newline)
-        if (sb.isEmpty) Iterator.empty
-        else Iterator.single(sb.substring(0, sb.length - 1))
-      }
+      // one record per row with a trailing '\r': the text() writer appends
+      // '\n' per record, restoring the exact CRLF bytes with O(row) task
+      // memory (never a whole-shard buffer)
+      .map(r => s"${r.num_id},${q(r.text_id)},${q(r.name)},${q(r.kind)},${q(r.info)}\r")
       .write.mode("overwrite").text(s"$dir/shards")
     Files.write(Paths.get(dir, "_header"),
       (Seq("num_id", "text_id", "name", "type", "info").map(q).mkString(",") + "\r\n")
@@ -90,9 +83,12 @@ object CsvSinks {
     import scala.jdk.CollectionConverters._
     val out = Paths.get(outFile)
     if (out.getParent != null) Files.createDirectories(out.getParent)
-    val shards = Files.list(Paths.get(dir, "shards")).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(Paths.get(dir, "shards"))
+    val shards =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     val os = Files.newOutputStream(out)
     try {
       os.write(Files.readAllBytes(Paths.get(dir, "_header")))

@@ -85,18 +85,32 @@ object StreamingExtract {
     * sources: a (conv_id, turn_idx) pair passes the FIRST time it is seen,
     * replays are dropped, making downstream extraction exactly-once per
     * turn. Keyed per turn (one boolean of state each) so a
-    * mega-conversation never concentrates state on one key. */
-  def dedupTurnsStream(turns: Dataset[Turn]): Dataset[Turn] = {
+    * mega-conversation never concentrates state on one key.
+    *
+    * The turn key space is corpus-sized, so state MUST be bounded for a
+    * long-running stream: pass `replayHorizon` (e.g. "1 hour") matching the
+    * source's maximum replay window and each key's state is dropped after
+    * that much processing time — replays beyond the horizon would then pass
+    * again, which is exactly the at-least-once contract the horizon
+    * encodes. None keeps state forever (small/bounded corpora only). */
+  def dedupTurnsStream(turns: Dataset[Turn],
+      replayHorizon: Option[String] = None): Dataset[Turn] = {
     val spark = turns.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (replayHorizon.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     turns.groupByKey(t => (t.conv_id, t.turn_idx))
-      .flatMapGroupsWithState[Boolean, Turn](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Boolean, Turn](OutputMode.Append, timeoutConf) {
         (_: (String, Int), rows: Iterator[Turn], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: forget the key
+            Iterator.empty
+          } else if (state.exists) Iterator.empty
           else {
             state.update(true)
+            replayHorizon.foreach(state.setTimeoutDuration)
             if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
           }
       }

@@ -62,11 +62,11 @@ class ResumableExtractSpec extends AnyFunSuite {
     // with the manifest gone (= crash between data write and commit),
     // readModules must NOT leak the uncommitted bucket's rows
     val bucket2 = first.find(_.bucket == 2).get.modules
-    assert(ResumableExtract.readModules(spark, dir, buckets = 4).count()
+    assert(ResumableExtract.readModules(spark, dir).count()
       == allModules - bucket2)
     val third = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
     assert(third.map(_.bucket) == Seq(2))
-    assert(ResumableExtract.readModules(spark, dir, buckets = 4).count() == allModules)
+    assert(ResumableExtract.readModules(spark, dir).count() == allModules)
   }
 }
 
