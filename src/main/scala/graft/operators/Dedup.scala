@@ -88,19 +88,45 @@ object Dedup {
     * `threshold`. Jaccard is over the raw distinct shingle STRINGS
     * (ngramJaccard) — bit-identical to what an independent SQL engine
     * computes, with no hash-collision caveat. */
+  /** Exact-Jaccard verification of a candidate pair set.
+    *
+    * Cost disciplines, all measured:
+    *  - shingle arrays are projected ONCE PER DOC on the join build side,
+    *    never inlined per pair (inlining ngramJaccard re-evaluates the
+    *    shingle expression four times per candidate pair — ~2.7 s extra at
+    *    sf0.01);
+    *  - default (dense) path: corpus-wide shingle projection joined on both
+    *    pair sides in ONE job — the scans overlap across the cluster and
+    *    nothing is materialized. Bench corpora with planted duplicates have
+    *    ~80% of docs in some pair, where this is the fastest shape.
+    *  - `sparseCandidates = true`: when candidate docs are a vanishing
+    *    fraction of the corpus (the 100 TB regime), the candidate set is
+    *    materialized (tiny by LSH construction), doc texts are SEMI-JOINED
+    *    to candidate ids BEFORE the shingle expression (Catalyst does not
+    *    reorder a join below a projection, so the order must be explicit),
+    *    and the bounded shingle table is materialized once instead of the
+    *    corpus paying two full shingle passes. */
   def verifyJaccard(
       docs: DataFrame, idCol: String, textCol: String,
-      candidates: DataFrame, threshold: Double, shingleK: Int = 3): DataFrame = {
-    // shingle arrays are projected ONCE PER DOC on the build side of the
-    // join (the exchange materializes them); inlining ngramJaccard on the
-    // joined texts instead would re-evaluate the shingle expression four
-    // times per candidate pair (intersect + union × two sides) — measured
-    // ~2.7 s extra at sf0.01
-    val sh = docs.select(col(idCol).cast("long").as("id"),
-      array_distinct(TextStats.shinglesCol(col(textCol), shingleK)).as("sh"))
+      candidates: DataFrame, threshold: Double, shingleK: Int = 3,
+      sparseCandidates: Boolean = false): DataFrame = {
+    val shingled: Column = array_distinct(TextStats.shinglesCol(col("text"), shingleK))
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val (cands, sh) =
+      if (sparseCandidates) {
+        val c = candidates.localCheckpoint()
+        val candIds = c.select(col("id_a").as("id"))
+          .union(c.select(col("id_b").as("id"))).distinct()
+        val s = base.join(candIds, Seq("id"), "left_semi")
+          .select(col("id"), shingled.as("sh"))
+          .localCheckpoint() // bounded by the candidate doc set
+        (c, s)
+      } else {
+        (candidates, base.select(col("id"), shingled.as("sh")))
+      }
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    candidates
+    cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(0.0))

@@ -68,6 +68,17 @@ object HashCore {
     out
   }
 
+  /** x mod P for P = 2^31 - 1 (Mersenne): two shift-add folds + one
+    * conditional subtract instead of a 64-bit division. Identical to x % P
+    * for any x in [0, 2^62) — property-locked against `%` in HashCoreSpec.
+    * The signature kernel runs docs × shingles × k of these; the division
+    * was the kernel's hottest instruction. */
+  @inline def modP(x: Long): Long = {
+    var v = (x & P) + (x >>> 31) // < 2^32
+    v = (v & P) + (v >>> 31) // < P + 2
+    if (v >= P) v - P else v
+  }
+
   /** k-permutation MinHash signature — one pass over the shingle hashes. */
   def minhashSignature(hashes: Array[Long], k: Int): Array[Long] = {
     val as = new Array[Long](k)
@@ -80,7 +91,8 @@ object HashCore {
       val h = hashes(s)
       var p = 0
       while (p < k) {
-        val v = (as(p) * h + bs(p)) % P
+        // a < P, h < P ⇒ a*h < 2^62 and a*h + b < 2^62: modP applies
+        val v = modP(as(p) * h + bs(p))
         if (v < sig(p)) sig(p) = v
         p += 1
       }
