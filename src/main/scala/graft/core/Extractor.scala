@@ -84,26 +84,33 @@ object Extractor {
             if (payloadChars >= Tokenizer.MinRowChars &&
                 !Blocker.isSeparatorRange(text, ls, le)) {
               rowsTokenized += 1
-              val slices = Tokenizer.tokenizeRow(text, ls, le, ls, scratch)
-              if (slices.length > ModuleParser.MaxModulesPerRow) {
+              // low-level fill: module strings/spans read straight from the
+              // scratch buffers — no ModuleSlice/Span/Vector per row
+              val rowLen = Tokenizer.fillRow(text, ls, le, ls, scratch)
+              val numModules = Tokenizer.moduleCount(rowLen)
+              if (numModules > ModuleParser.MaxModulesPerRow) {
                 // Row cap — diary_module_parser.py:122-124.
                 errors += ExtractionError(
                   turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal, -1,
-                  ErrorCode.ModulesNumberExceeded, -1, slices.length.toString,
+                  ErrorCode.ModulesNumberExceeded, -1, numModules.toString,
                   text.substring(ls, le))
               } else {
-                slices.foreach { s =>
-                  ModuleParser.parseModule(s.ordinal, s.str, ctx) match {
+                var m = 0
+                while (m < numModules) {
+                  val str = Tokenizer.moduleStr(scratch, m, rowLen)
+                  ModuleParser.parseModule(m, str, ctx) match {
                     case Right(pm) =>
+                      val span = Tokenizer.moduleSpanPacked(scratch, m, rowLen)
                       modules += ExtractedModule(
                         turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
-                        s.ordinal, pm.moduleType, pm.zones, s.str,
-                        s.span.start, s.span.end)
+                        m, pm.moduleType, pm.zones, str,
+                        Blocker.lineStart(span), Blocker.lineEnd(span))
                     case Left(e) =>
                       errors += ExtractionError(
                         turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
-                        s.ordinal, e.code, e.catalogId, e.zoneStr, s.str)
+                        m, e.code, e.catalogId, e.zoneStr, str)
                   }
+                  m += 1
                 }
               }
               rowOrdinal += 1

@@ -107,12 +107,12 @@ object Tokenizer {
         lineBuf = java.util.Arrays.copyOf(lineBuf, math.max(n, lineBuf.length * 2))
   }
 
-  /** Fused tokenize+slice: identical semantics to
-    * `sliceRow(rowStringRange(...))` but writes into reusable scratch
-    * buffers — the only allocations that escape are the ModuleSlice vector,
-    * the per-module strings, and their spans. */
-  def tokenizeRow(text: String, lo: Int, hi: Int, offsetBase: Int,
-      scratch: Scratch): Vector[ModuleSlice] = {
+  /** Low-level fill: tokenize text[lo, hi) into the scratch buffers (gap
+    * placeholders + pad quirk applied) and return the packed row length.
+    * The hot extraction loop reads the scratch directly via `moduleStr`/
+    * `spanStartAt`/`spanEndAt` — zero intermediate objects per module. */
+  def fillRow(text: String, lo: Int, hi: Int, offsetBase: Int,
+      scratch: Scratch): Int = {
     val n = hi - lo
     scratch.ensure(n + Stride + 1)
     val buf = scratch.buf
@@ -144,23 +144,51 @@ object Tokenizer {
         buf(len) = ModuleParser.SpaceChar; offs(len) = -1; len += 1; k += 1
       }
     }
+    len
+  }
+
+  /** Modules in a filled row of length `len`: ceil(len / Stride). */
+  @inline def moduleCount(len: Int): Int = (len + Stride - 1) / Stride
+
+  /** The m-th module's 10-char slice of a filled scratch row. */
+  def moduleStr(scratch: Scratch, m: Int, len: Int): String = {
+    val init = m * Stride
+    val stop = math.min(init + ModuleWidth, len)
+    new String(scratch.buf, init, stop - init)
+  }
+
+  /** The m-th module's source span [start, end) packed as a long
+    * (Blocker.packLine layout); packLine(-1, -1) when no source chars. */
+  def moduleSpanPacked(scratch: Scratch, m: Int, len: Int): Long = {
+    val init = m * Stride
+    val stop = math.min(init + ModuleWidth, len)
+    var sLo = Int.MaxValue
+    var sHi = -1
+    var p = init
+    val offs = scratch.offs
+    while (p < stop) {
+      val o = offs(p)
+      if (o >= 0) { if (o < sLo) sLo = o; if (o + 1 > sHi) sHi = o + 1 }
+      p += 1
+    }
+    if (sHi < 0) Blocker.packLine(-1, -1) else Blocker.packLine(sLo, sHi)
+  }
+
+  /** Fused tokenize+slice: identical semantics to
+    * `sliceRow(rowStringRange(...))` but writes into reusable scratch
+    * buffers. Object-building convenience over fillRow — the extraction
+    * hot loop uses fillRow + the accessors directly instead. */
+  def tokenizeRow(text: String, lo: Int, hi: Int, offsetBase: Int,
+      scratch: Scratch): Vector[ModuleSlice] = {
+    val len = fillRow(text, lo, hi, offsetBase, scratch)
     if (len == 0) return Vector.empty
-    val numModules = (len + Stride - 1) / Stride
+    val numModules = moduleCount(len)
     val out = Vector.newBuilder[ModuleSlice]
     var m = 0
     while (m < numModules) {
-      val init = m * Stride
-      val stop = math.min(init + ModuleWidth, len)
-      var sLo = Int.MaxValue
-      var sHi = -1
-      var p = init
-      while (p < stop) {
-        val o = offs(p)
-        if (o >= 0) { if (o < sLo) sLo = o; if (o + 1 > sHi) sHi = o + 1 }
-        p += 1
-      }
-      val span = if (sHi < 0) Span(-1, -1) else Span(sLo, sHi)
-      out += ModuleSlice(m, new String(buf, init, stop - init), span)
+      val packed = moduleSpanPacked(scratch, m, len)
+      out += ModuleSlice(m, moduleStr(scratch, m, len),
+        Span(Blocker.lineStart(packed), Blocker.lineEnd(packed)))
       m += 1
     }
     out.result()
