@@ -52,30 +52,28 @@ object SparkEntry {
     * (ext_errors_after / skip_rules must describe the SAME run the q28
     * result aggregates). Rule derivation is distributed
     * (ExtractPipeline.deriveSkipRules) — raw error rows are never collected.
-    * Cached per session (weak keys: a stopped session's entry — and its
-    * persisted datasets — become collectable instead of pinned for the JVM
-    * lifetime) and per sfDir; the loop re-extracts up to 4×. */
-  private val skipOutcomeCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String,
-        (org.apache.spark.sql.Dataset[ExtractionError],
-         org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])]]())
+    *
+    * SINGLE-SLOT cache: Verify (and Bench) consume exactly one
+    * (session, sfDir) at a time, so one slot gives full reuse across the
+    * q28 query + its two materializations while bounding the cache by
+    * construction — a new (session, dir) evicts the previous entry, so a
+    * stopped session is never pinned through the cache. (A WeakHashMap
+    * keyed by session cannot work here: the cached Datasets strongly
+    * reference their own session, the documented WeakHashMap self-reference
+    * trap.) The fixed-point computation runs OUTSIDE the lock — a lost race
+    * recomputes, it never blocks an unrelated (session, dir). */
+  private type SkipOutcome =
+    (org.apache.spark.sql.Dataset[ExtractionError],
+     org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])
+  @volatile private var skipOutcomeSlot
+      : Option[(SparkSession, String, SkipOutcome)] = None
 
-  def skipRuleOutcome(s: SparkSession, dir: String)
-      : (org.apache.spark.sql.Dataset[ExtractionError],
-         org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule]) = skipOutcomeCache.synchronized {
-    val perSession = {
-      val existing = skipOutcomeCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = scala.collection.mutable.Map.empty[String,
-          (org.apache.spark.sql.Dataset[ExtractionError],
-           org.apache.spark.sql.Dataset[ExtractionError], Set[SkipRule])]
-        skipOutcomeCache.put(s, m)
-        m
-      }
+  def skipRuleOutcome(s: SparkSession, dir: String): SkipOutcome = {
+    skipOutcomeSlot match {
+      case Some((cs, cd, outcome)) if (cs eq s) && cd == dir => return outcome
+      case _ =>
     }
-    perSession.getOrElseUpdate(dir, {
+    val outcome: SkipOutcome = {
       val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
         s.sparkContext.defaultParallelism)
       val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -104,7 +102,9 @@ object SparkEntry {
         iter += 1
       }
       (firstErrors, lastErrors, rules)
-    })
+    }
+    skipOutcomeSlot = Some((s, dir, outcome))
+    outcome
   }
 
   /** Flagship query on sf=0.001-equivalent synthetic transcripts; driver

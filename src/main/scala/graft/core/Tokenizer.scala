@@ -109,8 +109,8 @@ object Tokenizer {
 
   /** Low-level fill: tokenize text[lo, hi) into the scratch buffers (gap
     * placeholders + pad quirk applied) and return the packed row length.
-    * The hot extraction loop reads the scratch directly via `moduleStr`/
-    * `spanStartAt`/`spanEndAt` — zero intermediate objects per module. */
+    * The hot extraction loop reads the scratch directly via `moduleCount`/
+    * `moduleStr`/`moduleSpanPacked` — zero intermediate objects per module. */
   def fillRow(text: String, lo: Int, hi: Int, offsetBase: Int,
       scratch: Scratch): Int = {
     val n = hi - lo

@@ -51,9 +51,14 @@ object ResumableExtract {
         import scala.jdk.CollectionConverters._
         stream.iterator().asScala
           .map(_.getFileName.toString)
-          .collect {
-            case n if n.startsWith("bucket-") && n.endsWith(".json") =>
-              n.stripPrefix("bucket-").stripSuffix(".json").toInt
+          .flatMap { n =>
+            // digits-only between the markers: a stray foreign file in the
+            // manifest dir (operator backup, editor temp) must be ignored,
+            // not crash the read with NumberFormatException
+            val mid = n.stripPrefix("bucket-").stripSuffix(".json")
+            if (n.startsWith("bucket-") && n.endsWith(".json") &&
+              mid.nonEmpty && mid.forall(_.isDigit)) Some(mid.toInt)
+            else None
           }
           .toSeq.sorted
       } finally stream.close()

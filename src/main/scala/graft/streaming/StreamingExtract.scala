@@ -107,8 +107,13 @@ object StreamingExtract {
           if (state.hasTimedOut) {
             state.remove() // horizon passed: forget the key
             Iterator.empty
-          } else if (state.exists) Iterator.empty
-          else {
+          } else if (state.exists) {
+            // GroupState clears the stored timeout on every invocation that
+            // does not re-arm it — replays MUST re-set the duration or the
+            // replayed keys (the common case) would leak state forever
+            replayHorizon.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
             state.update(true)
             replayHorizon.foreach(state.setTimeoutDuration)
             if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
