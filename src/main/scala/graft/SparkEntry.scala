@@ -389,6 +389,7 @@ object SparkEntry {
           sum(when(col("decoded"), 1).otherwise(0)).as("n_decoded"),
           sum(col("n_bytes")).as("total_bytes"),
           round(avg(col("entropy")), 4).as("avg_entropy"),
+          round(avg(col("rms")), 4).as("avg_rms"),
           sum(col("width").cast("long")).as("total_px_width"),
           sum(col("frames_sampled")).as("frames_sampled"))
     }),
@@ -808,6 +809,7 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
          |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          |  round(avg(entropy), 4) AS avg_entropy,
+         |  round(avg(rms), 4) AS avg_rms,
          |  CAST(sum(width) AS BIGINT) AS total_px_width,
          |  CAST(sum(frames_sampled) AS BIGINT) AS frames_sampled
          |FROM ${t("media_features")} GROUP BY kind""".stripMargin

@@ -8,14 +8,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, decode/feature-extract/frame-sample as *batched*
-  * partition-local transforms.
+  * with typed metadata, decode/feature-extract/resize/frame-sample as
+  * *batched* partition-local transforms.
   *
-  * Image decode is REAL: `javax.imageio` ships in the JDK, so PNG/JPEG blobs
-  * are decoded to pixels and the features (width, height, luma histogram,
-  * luma entropy) come from the decoded raster. Audio/video decode remains a
-  * clearly-marked STUB (no audio/video codecs in this container): those rows
-  * get deterministic byte-level stand-in features with `decoded = false`.
+  * Image decode is REAL (`javax.imageio`, JDK built-in: PNG/JPEG → pixels;
+  * features come from the decoded raster). Audio decode is REAL for
+  * PCM/WAV (`javax.sound.sampled`, JDK built-in: WAV → samples; features
+  * come from the decoded waveform — RMS amplitude and sample-histogram
+  * entropy). VIDEO decode remains a clearly-marked STUB
+  * (genuinely no video codecs in this container): those rows get
+  * deterministic byte-level stand-in features with `decoded = false`.
   * The batching mirrors the reference's dominant-cost lesson: one Tesseract
   * *process per character group* killed its throughput
   * (/root/reference/diary_ocr.py:229-247); here decoder state is amortized
@@ -32,16 +34,17 @@ object Multimodal {
       width: Int,
       height: Int,
       n_bytes: Long,
-      entropy: Double, // luma entropy (decoded) or byte entropy (stub)
+      entropy: Double, // luma/sample entropy (decoded) or byte entropy (stub)
       head_histogram: Seq[Long], // first 8 histogram buckets
-      frames_sampled: Int)
+      frames_sampled: Int,
+      rms: Double) // decoded-audio RMS amplitude in [0, 1]; 0.0 otherwise
 
   val BatchSize = 64
 
   /** Deterministic synthetic media derived from a documents table — the test
-    * stand-in for real blobs. Image rows are REAL PNG bytes (encoded with the
-    * JDK's ImageIO from a deterministic raster); audio/video rows are
-    * scrambled doc-text bytes. */
+    * stand-in for real blobs. Image rows are REAL PNG bytes (ImageIO over a
+    * deterministic raster), audio rows are REAL PCM WAV bytes (deterministic
+    * sine waveform), video rows are scrambled doc-text bytes. */
   def synthesizeMedia(docs: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)].map {
@@ -72,16 +75,37 @@ object Multimodal {
             val baos = new ByteArrayOutputStream()
             ImageIO.write(img, "png", baos)
             MediaRow(id, kind, baos.toByteArray, MediaMeta("png", w, h, 0L))
+          case "audio" =>
+            // a REAL mono 16-bit PCM WAV (JDK javax.sound.sampled encodes
+            // it): deterministic waveform keyed by (id, sample index)
+            val sampleRate = 8000
+            val durationMs = 250L + id % 750
+            val nSamples = (sampleRate * durationMs / 1000L).toInt
+            val pcm = new Array[Byte](nSamples * 2)
+            var i = 0
+            while (i < nSamples) {
+              val phase = (i * (220.0 + (id % 17) * 55.0)) / sampleRate
+              val s = (math.sin(2 * math.Pi * phase) * 12000).toInt.toShort
+              pcm(2 * i) = (s & 0xff).toByte // little-endian
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              sampleRate.toFloat, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+            val baos = new ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            MediaRow(id, kind, baos.toByteArray,
+              MediaMeta("pcm-wav", 0, 0, durationMs))
           case _ =>
             val base = text.getBytes("UTF-8")
             val n = math.max(256, base.length * 4)
             val bytes = Array.tabulate(n) { i =>
               (base(i % base.length) ^ (i * 31 + id).toByte).toByte
             }
-            val meta =
-              if (kind == "audio") MediaMeta("fake-pcm", 0, 0, 1000L + id % 9000)
-              else MediaMeta("fake-h264", 128, 72, 2000L + id % 8000)
-            MediaRow(id, kind, bytes, meta)
+            MediaRow(id, kind, bytes, MediaMeta("fake-h264", 128, 72, 2000L + id % 8000))
         }
     }
   }
@@ -109,9 +133,9 @@ object Multimodal {
   }
 
   /** Batched decode/feature-extract. Image rows decode for real via
-    * javax.imageio (PNG/JPEG — JDK built-in, no external codecs) and emit
-    * pixel-derived features; audio/video rows fall through to the
-    * clearly-marked byte-level STUB with decoded=false. */
+    * javax.imageio (PNG/JPEG), audio rows via javax.sound.sampled (WAV/PCM)
+    * — both JDK built-ins, no external codecs; video rows fall through to
+    * the clearly-marked byte-level STUB with decoded=false. */
   def decode(media: Dataset[MediaRow], frameStride: Int = 10): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -146,7 +170,40 @@ object Multimodal {
                 }
                 MediaFeatures(row.doc_id, row.kind, decoded = true, w, h,
                   bytes.length.toLong, shannonEntropy(hist, w.toLong * h),
-                  hist.take(8).toSeq, frames_sampled = 1)
+                  hist.take(8).toSeq, frames_sampled = 1, rms = 0.0)
+              }
+            case "audio" =>
+              // REAL WAV/PCM decode via the JDK's javax.sound.sampled; only
+              // 16-bit signed little-endian PCM is handled (what WAV PCM
+              // is in practice) — anything else honestly falls to the stub
+              val ais = try javax.sound.sampled.AudioSystem
+                  .getAudioInputStream(new ByteArrayInputStream(bytes))
+                catch { case scala.util.control.NonFatal(_) => null }
+              val fmt = if (ais == null) null else ais.getFormat
+              if (fmt == null ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+                stubFeatures(row, frameStride)
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                val hist = new Array[Long](256)
+                var sumSq = 0.0
+                var i = 0
+                while (i < n) {
+                  val lo = data(2 * i) & 0xff
+                  val hi = data(2 * i + 1).toInt
+                  val sv = ((hi << 8) | lo).toShort.toInt
+                  hist((sv >> 8) & 0xff) += 1 // high-byte amplitude bucket
+                  sumSq += sv.toDouble * sv
+                  i += 1
+                }
+                val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+                val nFrames = n / 1024
+                val sampled = if (nFrames <= 1) 1 else 1 + (nFrames - 1) / frameStride
+                MediaFeatures(row.doc_id, row.kind, decoded = true, 0, 0,
+                  bytes.length.toLong, shannonEntropy(hist, n.toLong),
+                  hist.take(8).toSeq, sampled, rms)
               }
             case _ => stubFeatures(row, frameStride)
           }
@@ -194,8 +251,8 @@ object Multimodal {
     }
   }
 
-  /** >>> STUB: audio/video decode — this container ships no audio/video
-    * codecs, so features are deterministic byte-level stand-ins
+  /** >>> STUB: video decode (and non-PCM audio) — this container ships no
+    * video codecs, so features are deterministic byte-level stand-ins
     * (decoded = false). The frame-sampling arithmetic is real: every
     * frameStride-th frame of the (byte-length-derived) frame count. */
   private def stubFeatures(row: MediaRow, frameStride: Int): MediaFeatures = {
@@ -205,6 +262,7 @@ object Multimodal {
     val sampled = if (nFrames <= 1) 1 else 1 + (nFrames - 1) / frameStride
     MediaFeatures(row.doc_id, row.kind, decoded = false,
       row.meta.width, row.meta.height, bytes.length.toLong,
-      shannonEntropy(hist, bytes.length.toLong), hist.take(8).toSeq, sampled)
+      shannonEntropy(hist, bytes.length.toLong), hist.take(8).toSeq, sampled,
+      rms = 0.0)
   }
 }

@@ -361,13 +361,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.entropy > 0 && f.entropy <= 8.0)
       assert(f.head_histogram.size == 8)
     }
-    // images decode for real (javax.imageio); audio/video remain stubbed
+    // images (javax.imageio) and WAV audio (javax.sound.sampled) decode
+    // for real; video remains stubbed
     assert(feats1.find(_.kind == "image").get.decoded)
-    assert(!feats1.find(_.kind == "audio").get.decoded)
+    assert(feats1.find(_.kind == "audio").get.decoded)
     assert(!feats1.find(_.kind == "video").get.decoded)
     // frame sampling arithmetic: video with n frames samples ceil(n/stride)
     val video = feats1.find(_.kind == "video").get
     assert(video.frames_sampled >= 1)
+  }
+
+  test("audio rows: features come from DECODED samples of a real WAV") {
+    // hand-built 4-sample mono 16-bit PCM WAV with known amplitudes
+    val samples = Array[Short](0, 16384, 0, -16384)
+    val pcm = new Array[Byte](8)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 4L)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val media = Seq(Multimodal.MediaRow(1L, "audio", baos.toByteArray,
+      Multimodal.MediaMeta("pcm-wav", 0, 0, 1L))).toDS()
+    val f = Multimodal.decode(media).collect().head
+    assert(f.decoded)
+    // RMS of {0, 0.5, 0, -0.5} = sqrt(0.125)
+    assert(math.abs(f.rms - math.sqrt(0.125)) < 1e-9)
+    // corrupt WAV falls back to the stub, never a task failure
+    val bad = Seq(Multimodal.MediaRow(2L, "audio", Array[Byte](82, 73, 70, 70, 0, 1),
+      Multimodal.MediaMeta("pcm-wav", 0, 0, 1L))).toDS()
+    val fb = Multimodal.decode(bad).collect().head
+    assert(!fb.decoded)
   }
 
   test("image rows: features come from DECODED pixels of a real tiny PNG") {
