@@ -70,6 +70,12 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("q25 zone audit joins its dimensions broadcast, never shuffled") {
+    val p = plan("q25_zone_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("NO query plan contains an unpartitioned window over row-scaled input") {
     // the round-1 verdict's scale-killer class: Window.orderBy with no
     // partitionBy funnels every row through one task. Gate: every shipped
