@@ -15,9 +15,10 @@ object Bench {
     * per operator family (agg, broadcast join, window topk, minhash dedup,
     * ANN). Full coverage runs under Verify; Bench tracks the hot paths. */
   val headline: Seq[String] = Seq(
-    "q20_extract_modules", "q21_extract_clean_text",
-    "q01_agg", "q03_broadcast_join", "q08_topk_per_group",
-    "q30_text_tokens", "q41_dedup_minhash", "q44_ann_brute_topk")
+    "q20_extract_modules", "q21_extract_clean_text", "q29_conversation_text",
+    "q01_agg", "q03_broadcast_join", "q08_topk_per_group", "q48_sessionize",
+    "q30_text_tokens", "q41_dedup_minhash", "q44_ann_brute_topk",
+    "q46_multimodal_features")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
