@@ -402,6 +402,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("zones"), sum(when(col("hit"), 1).otherwise(0)).as("hits"))
     }),
 
+    "q51_salted_agg" -> ((s, dir) => {
+      // skew-salted aggregation (the north-rule mega-key treatment as a
+      // first-class operator): two-stage salted sum/count per user over
+      // events — algebraically identical to the plain groupBy, so the
+      // DuckDB oracle is the plain SQL GROUP BY
+      val e = load(s, dir, "events")
+      graft.operators.Salting.saltedSum(e, col("user_id"), col("value"),
+        fineGrain = col("event_id"), buckets = 16)
+        .select(col("key").as("user_id"),
+          round(col("sum"), 4).as("total_value"), col("count"))
+    }),
+
     "q50_dedup_modules_planted" -> ((s, dir) => {
       // A6 under REAL collapse pressure: the synthetic corpus happens to
       // produce globally-unique module payloads (counts.json: q20 raw ==
@@ -658,6 +670,10 @@ object SparkEntry {
          |    ORDER BY turn_idx, block_ordinal, row_ordinal, module_ordinal) AS rn
          |  FROM ${t("ext_modules")}) d
          |WHERE rn = 1""".stripMargin,
+    "q51_salted_agg" ->
+      """SELECT user_id, round(sum(value), 4) AS total_value,
+        |  count(*) AS count
+        |FROM events GROUP BY user_id""".stripMargin,
     "q50_dedup_modules_planted" ->
       s"""SELECT conv_id, turn_idx, block_ordinal, row_ordinal, module_ordinal,
          |  module_type, array_to_string(zones, '|') AS zones, module_str,

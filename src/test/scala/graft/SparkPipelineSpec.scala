@@ -92,6 +92,23 @@ class SparkPipelineSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
   }
 
+  test("every {OUT} side table referenced by oracle SQL is materialized") {
+    // a renamed materialization would otherwise surface only as a driver-run
+    // DuckDB error that silently fails one query's correctness row
+    val ref = """\{OUT\}/_tables/([A-Za-z0-9_]+)/""".r
+    SparkEntry.oracleSql.foreach { case (q, sql) =>
+      ref.findAllMatchIn(sql).foreach { m =>
+        assert(SparkEntry.materializations.contains(m.group(1)),
+          s"$q references unmaterialized table ${m.group(1)}")
+      }
+    }
+    // and every materialization is actually referenced by some oracle
+    val referenced = SparkEntry.oracleSql.values
+      .flatMap(sql => ref.findAllMatchIn(sql).map(_.group(1))).toSet
+    SparkEntry.materializations.keys.foreach(k =>
+      assert(referenced.contains(k), s"materialization $k is dead weight"))
+  }
+
   test("q50 planted-duplicate dedup collapses to exactly the q20 winners") {
     // the planted corpus duplicates every turn at turn_idx+100000; first-wins
     // dedup must therefore emit exactly the un-planted result
