@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -90,13 +91,11 @@ object Multimodal {
               pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
               i += 1
             }
-            val fmt = new javax.sound.sampled.AudioFormat(
-              sampleRate.toFloat, 16, 1, true, false)
-            val ais = new javax.sound.sampled.AudioInputStream(
+            val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+            val ais = new AudioInputStream(
               new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
             val baos = new ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
             MediaRow(id, kind, baos.toByteArray,
               MediaMeta("pcm-wav", 0, 0, durationMs))
           case _ =>
@@ -175,17 +174,20 @@ object Multimodal {
             case "audio" =>
               // REAL WAV/PCM decode via the JDK's javax.sound.sampled; only
               // 16-bit signed little-endian PCM is handled (what WAV PCM
-              // is in practice) — anything else honestly falls to the stub
-              val ais = try javax.sound.sampled.AudioSystem
-                  .getAudioInputStream(new ByteArrayInputStream(bytes))
-                catch { case scala.util.control.NonFatal(_) => null }
-              val fmt = if (ais == null) null else ais.getFormat
-              if (fmt == null ||
-                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
-                stubFeatures(row, frameStride)
+              // is in practice) — anything else honestly falls to the stub.
+              // The WHOLE decode (header resolve + payload read) is guarded:
+              // a payload that throws mid-read must also become a stub row,
+              // never a task failure
+              val data: Array[Byte] = try {
+                val ais = AudioSystem.getAudioInputStream(
+                  new ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+                else ais.readAllBytes()
+              } catch { case scala.util.control.NonFatal(_) => null }
+              if (data == null) stubFeatures(row, frameStride)
               else {
-                val data = ais.readAllBytes()
                 val n = data.length / 2
                 val hist = new Array[Long](256)
                 var sumSq = 0.0
