@@ -125,10 +125,14 @@ object Bench {
         val secs = try time(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
         if (secs >= 0) samples(name) = secs :: samples(name)
       }
-      // north metric leg: turns-extracted/sec on a corpus sized to the sf dir
-      val (t, extractSecs) = extractionThroughput(spark, nConvs)
-      turns = t
-      extractSamples = extractSecs :: extractSamples
+      // north metric leg: turns-extracted/sec on a corpus sized to the sf
+      // dir — try-guarded like the headline queries so one failed round
+      // still emits a bench JSON line (with -1 sentinels if ALL fail)
+      try {
+        val (t, extractSecs) = extractionThroughput(spark, nConvs)
+        turns = t
+        extractSamples = extractSecs :: extractSamples
+      } catch { case _: Throwable => }
     }
 
     def fmt(v: Double) = f"$v%.3f"
@@ -138,16 +142,18 @@ object Bench {
       case Nil => -1.0
       case s => s.max / s.min
     }))
-    val extractSec = extractSamples.min
-    val extractSpread = extractSamples.max / extractSamples.min
-    val tput = turns / extractSec
+    val extractSec =
+      if (extractSamples.nonEmpty) extractSamples.min else -1.0
+    val extractSpread =
+      if (extractSamples.nonEmpty) extractSamples.max / extractSamples.min else -1.0
+    val tput = if (extractSec > 0) turns / extractSec else -1.0
 
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sp = (spreads :+ ("extract" -> extractSpread))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val total = mins.map(_._2).filter(_ >= 0).sum + extractSec
+    val total = mins.map(_._2).filter(_ >= 0).sum + math.max(extractSec, 0)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$Rounds,"spread_max_over_min":$sp}""")
     spark.stop()

@@ -73,6 +73,19 @@ object SparkEntry {
       case Some((cs, cd, outcome)) if (cs eq s) && cd == dir => return outcome
       case _ =>
     }
+    // Evict the stale slot BEFORE computing: unpersist its pinned Datasets
+    // while the old session is still live (a stopped session's blocks died
+    // with it), and drop the strong session reference either way so a
+    // stopped SparkSession is never kept reachable through the cache.
+    skipOutcomeSlot.foreach { case (cs, _, (first, last, _)) =>
+      skipOutcomeSlot = None
+      if (!cs.sparkContext.isStopped) {
+        try {
+          first.unpersist()
+          if (last ne first) last.unpersist()
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
     val outcome: SkipOutcome = {
       val turns = ExtractPipeline.transcripts(s, nConvsFor(dir),
         s.sparkContext.defaultParallelism)

@@ -83,12 +83,10 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact-Jaccard verification of a candidate pair set against the corpus:
-    * joins the texts back and keeps pairs with word-shingle Jaccard ≥
-    * `threshold`. Jaccard is over the raw distinct shingle STRINGS
-    * (ngramJaccard) — bit-identical to what an independent SQL engine
-    * computes, with no hash-collision caveat. */
-  /** Exact-Jaccard verification of a candidate pair set.
+  /** Exact-Jaccard verification of a candidate pair set: joins the texts
+    * back and keeps pairs with word-shingle Jaccard ≥ `threshold`, computed
+    * over the raw distinct shingle STRINGS — bit-identical to what an
+    * independent SQL engine computes, no hash-collision caveat.
     *
     * Cost disciplines, all measured:
     *  - shingle arrays are projected ONCE PER DOC on the join build side,

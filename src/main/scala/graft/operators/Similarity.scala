@@ -41,23 +41,25 @@ object Similarity {
     }
 
   /** Brute-force cosine top-k: every query (small set, broadcast) against the
-    * whole corpus; exact. Returns (query_id, id, cos, rank). */
+    * whole corpus; exact. Returns (query_id, id, cos, rank).
+    *
+    * The top-k itself is a PARTIAL-AGGREGATING bounded heap (TopK), not a
+    * `row_number` window: a window would funnel |corpus| rows per query
+    * through |queries| tasks, so even this definitional baseline would die
+    * at a 100× corpus. With the heap aggregate, each scan task keeps ≤ k
+    * candidates per query and the shuffle carries tasks × |queries| × k
+    * structs — the brute-force cost stays the corpus SCAN, as it should. */
   def bruteForceTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val joined = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"))))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", Dedup.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cos"), col("rank").cast("long").as("rank"))
+    TopK.topKPerGroup(joined.select(col("query_id"), col("id"), col("cos")),
+      "query_id", "id", "cos", k)
   }
 
   /** LSH-bucketed ANN candidate set, UNRANKED: corpus vectors whose
@@ -83,16 +85,15 @@ object Similarity {
       .select(col("query_id"), col("id"), col("v"), col("qv"))
   }
 
-  /** Exact cosine top-k re-rank of a (query_id, id, v, qv) candidate set. */
-  def rerankTopK(cands: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id"))
-    cands.withColumn("cos", Dedup.cosine(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cos"), col("rank").cast("long").as("rank"))
-  }
+  /** Exact cosine top-k re-rank of a (query_id, id, v, qv) candidate set.
+    * Candidates are already LSH/IVF-bounded, but the re-rank reuses the same
+    * partial-aggregating heap as the brute-force path — no window anywhere
+    * in the ANN family. */
+  def rerankTopK(cands: DataFrame, k: Int): DataFrame =
+    TopK.topKPerGroup(
+      cands.withColumn("cos", Dedup.cosine(col("v"), col("qv")))
+        .select(col("query_id"), col("id"), col("cos")),
+      "query_id", "id", "cos", k)
 
   /** LSH-bucketed ANN top-k = multi-probe candidates + exact re-rank.
     * Recall < 1 by construction; at scale the bucket join replaces the

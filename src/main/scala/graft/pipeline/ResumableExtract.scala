@@ -1,29 +1,31 @@
 package graft.pipeline
 
 import java.nio.file.{Files, Paths}
+import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
 
-/** Resumable batch extraction with per-partition checkpoint manifests — the
+/** Resumable batch extraction with per-bucket checkpoint commits — the
   * S8/J4 capability (north rule: a killed run resumes without reprocessing).
   *
   * Mirrors the reference's interrupt-safe save + skip-already-read
   * (/root/reference/diary_ocr.py:95-98,359-363) at cluster scale: the input
-  * is bucketed by hash(conv_id); each bucket is one atomic unit of work that
-  * writes its output partition directory and then commits one manifest row
-  * (bucket id + watermark + counts). On restart, buckets present in the
-  * manifest are pruned BEFORE the scan (partition-level pruning, cheaper
-  * than the row-level anti-join, which remains available as
-  * ExtractPipeline.pruneDone for fine-grained resume).
+  * is bucketed by hash(conv_id); each bucket is one atomic unit of COMMIT.
+  * Since round 3 the WORK is a single pass: all todo buckets are extracted
+  * in one job (input scanned once, not once per bucket) and written with
+  * `partitionBy(bucket)`; each bucket directory is then validated and
+  * committed individually through the [[TableIO]] seam, preserving
+  * bucket-granular resume. A crash mid-write redoes only the uncommitted
+  * buckets of THAT run (their directories are pre-cleaned and overwritten on
+  * redo); committed buckets are pruned before the scan.
   *
-  * The manifest is a directory of one tiny JSON file per bucket — written
-  * AFTER the bucket's data lands, so a crash between data and manifest
-  * re-does at most one bucket (output write is idempotent overwrite of that
-  * bucket's directory). This is the file-based stand-in for an Iceberg
-  * snapshot + watermark table (Iceberg jars are not in this sandbox).
+  * At deployment the input is an Iceberg table bucket-partitioned on
+  * hash(conv_id), so the todo filter prunes at the FILE level and the
+  * commit layer is [[SnapshotLogIO]]/Iceberg snapshots; on plain parquet the
+  * filter degrades to one full scan per RUN (previously: per BUCKET).
   */
 object ResumableExtract {
 
@@ -32,105 +34,107 @@ object ResumableExtract {
   def bucketOf(convCol: org.apache.spark.sql.Column, buckets: Int) =
     pmod(hash(convCol), lit(buckets))
 
-  private def manifestPath(outDir: String, bucket: Int) =
-    Paths.get(outDir, "_manifest", f"bucket-$bucket%05d.json")
-
-  /** Buckets already committed by a previous run. */
-  def committedBuckets(outDir: String, buckets: Int): Set[Int] =
-    (0 until buckets).filter(b => Files.exists(manifestPath(outDir, b))).toSet
-
-  /** ALL committed buckets, discovered by listing the manifest directory —
-    * never by probing a caller-supplied bucket count, which would silently
-    * truncate the read when it is smaller than the writing run's count. */
-  def committedBucketList(outDir: String): Seq[Int] = {
-    val dir = Paths.get(outDir, "_manifest")
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val stream = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .flatMap { n =>
-            // digits-only between the markers: a stray foreign file in the
-            // manifest dir (operator backup, editor temp) must be ignored,
-            // not crash the read with NumberFormatException
-            val mid = n.stripPrefix("bucket-").stripSuffix(".json")
-            if (n.startsWith("bucket-") && n.endsWith(".json") &&
-              mid.nonEmpty && mid.forall(_.isDigit)) Some(mid.toInt)
-            else None
-          }
-          .toSeq.sorted
-      } finally stream.close()
-    }
-  }
-
   /** Run (or resume) the extraction over `turns`, writing per-bucket module
-    * output + manifest rows under `outDir`. Returns per-bucket results of
+    * output + commit records under `outDir`. Returns per-bucket results of
     * the buckets processed in THIS run (committed buckets are skipped). */
   def run(
       spark: SparkSession,
       turns: Dataset[Turn],
       ctx: ModuleParser.Context,
       outDir: String,
-      buckets: Int = 8): Seq[BucketResult] = {
-    import spark.implicits._
-    Files.createDirectories(Paths.get(outDir, "_manifest"))
-    val done = committedBuckets(outDir, buckets)
+      buckets: Int = 8,
+      io: TableIO = ParquetManifestIO): Seq[BucketResult] = {
+    io.init(outDir)
+    val done = io.committedBuckets(outDir).toSet
     val todo = (0 until buckets).filterNot(done)
+    if (todo.isEmpty) return Seq.empty
 
-    todo.map { b =>
-      // Partition-level resume prune: only this bucket's conversations pass.
-      // At deployment the input is an Iceberg table bucket-partitioned on
-      // hash(conv_id), so this filter prunes at the FILE level; on plain
-      // parquet it degrades to a full scan per bucket (trade-off accepted
-      // for bucket-granular resume — lower `buckets` to amortize).
-      val bucketTurns = turns.filter(bucketOf(col("conv_id"), buckets) === b)
-      // one extraction pass per bucket: cache the extraction, derive
-      // modules + errors + turn count from it
-      val ex = ExtractPipeline.extract(bucketTurns, ctx)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val turnCount = ex.count()
-        val modules = ExtractPipeline.dedupModules(ExtractPipeline.modules(ex))
-        val errors = ExtractPipeline.errors(ex)
-
-        val modCount = writeBucket(modules, s"$outDir/modules", b)
-        val errCount = writeBucket(errors.toDF(), s"$outDir/errors", b)
-
-        // commit: the manifest row lands only after the bucket's data, and
-        // lands ATOMICALLY (write-temp + rename) — a crash mid-write must
-        // not leave a half-manifest that readModules/committedBuckets would
-        // take as a commit. This is the file-level analog of an Iceberg
-        // snapshot commit.
-        val json =
-          s"""{"bucket":$b,"turns":$turnCount,"modules":$modCount,"errors":$errCount,"watermark":"complete"}"""
-        val target = manifestPath(outDir, b)
-        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-        Files.writeString(tmp, json)
-        Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        BucketResult(b, turnCount, modCount, errCount)
-      } finally ex.unpersist()
+    // pre-clean uncommitted bucket directories (a crashed run's partial
+    // data) so this run's write is the only content — commit counts are
+    // then the committed truth even for re-runs
+    todo.foreach { b =>
+      deleteDir(Paths.get(bucketDir(s"$outDir/modules", b)))
+      deleteDir(Paths.get(bucketDir(s"$outDir/errors", b)))
     }
+
+    // ONE extraction pass over exactly the todo buckets' conversations
+    val bucketCol = bucketOf(col("conv_id"), buckets)
+    val todoTurns =
+      if (done.isEmpty) turns
+      else turns.filter(bucketCol.isin(todo.map(Integer.valueOf): _*))
+    val ex = ExtractPipeline.extract(todoTurns, ctx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-bucket turn counts (one tiny job; ≤ `buckets` rows collected)
+      val turnCounts: Map[Int, Long] = ExtractPipeline.cleanTurns(ex).toDF()
+        .groupBy(bucketCol.as("bucket")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+      val modules = ExtractPipeline.dedupModules(ExtractPipeline.modules(ex))
+      val errors = ExtractPipeline.errors(ex).toDF()
+
+      // one write job per table for ALL todo buckets (zero-padded string
+      // partition values keep the bucket=NNNNN directory layout)
+      writePartitioned(modules.withColumn("bucket",
+        format_string("%05d", bucketCol)), s"$outDir/modules")
+      writePartitioned(errors.withColumn("bucket",
+        format_string("%05d", bucketOf(col("conv_id"), buckets))), s"$outDir/errors")
+
+      // validate + commit each bucket individually (bucket stays the atomic
+      // unit of visibility even though the work was one pass)
+      todo.map { b =>
+        val modCount = countLanded(spark, s"$outDir/modules", b)
+        val errCount = countLanded(spark, s"$outDir/errors", b)
+        val turnCount = turnCounts.getOrElse(b, 0L)
+        io.commitBucket(outDir, BucketStat(b, turnCount, modCount, errCount))
+        BucketResult(b, turnCount, modCount, errCount)
+      }
+    } finally ex.unpersist()
   }
 
-  private def writeBucket(df: DataFrame, dir: String, bucket: Int): Long = {
-    df.write.mode(SaveMode.Overwrite).parquet(f"$dir/bucket=$bucket%05d")
-    // count what actually landed (the committed truth, not the plan)
-    df.sparkSession.read.parquet(f"$dir/bucket=$bucket%05d").count()
+  private def bucketDir(tableDir: String, bucket: Int): String =
+    f"$tableDir/bucket=$bucket%05d"
+
+  private def writePartitioned(df: DataFrame, dir: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // only written buckets replaced
+      .partitionBy("bucket")
+      .parquet(dir)
+
+  /** Rows that actually landed in a bucket directory (the committed truth,
+    * not the plan). A bucket ALL of whose rows were filtered produces no
+    * directory — that is a valid empty commit. */
+  private def countLanded(spark: SparkSession, tableDir: String, bucket: Int): Long = {
+    val dir = bucketDir(tableDir, bucket)
+    if (!Files.isDirectory(Paths.get(dir))) 0L
+    else spark.read.parquet(dir).count()
   }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } finally stream.close()
+    }
 
   /** Read back the combined COMMITTED output: only bucket directories whose
-    * manifest row landed are scanned, so a crash between a bucket's data
-    * write and its manifest commit never leaks uncommitted rows into the
-    * read (the resume run overwrites that bucket's directory). The committed
-    * set comes from the manifest listing itself — no bucket-count parameter
-    * to get wrong. */
-  def readModules(spark: SparkSession, outDir: String): DataFrame = {
-    val committed = committedBucketList(outDir)
+    * commit landed are scanned, so a crash between a bucket's data write
+    * and its commit never leaks uncommitted rows into the read (the resume
+    * run pre-cleans and overwrites that bucket's directory). The committed
+    * set comes from the commit layer itself — no bucket-count parameter to
+    * get wrong. Committed-empty buckets have no directory and contribute
+    * nothing. */
+  def readModules(spark: SparkSession, outDir: String,
+      io: TableIO = ParquetManifestIO): DataFrame = {
+    val committed = io.committedBuckets(outDir)
     require(committed.nonEmpty, s"no committed buckets under $outDir")
-    val dirs = committed.map(b => f"$outDir/modules/bucket=$b%05d")
+    val dirs = committed.map(b => bucketDir(s"$outDir/modules", b))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    require(dirs.nonEmpty, s"no committed bucket directories under $outDir")
     spark.read.option("basePath", s"$outDir/modules").parquet(dirs: _*)
   }
 }

@@ -45,13 +45,11 @@ object CsvSinks {
     sb.toString
   }
 
-  def writeEntityCsv(ds: Dataset[EntityRegister], path: String): Unit = {
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, entityCsv(ds.collect().toSeq).getBytes(StandardCharsets.UTF_8))
-  }
+  // NOTE: there is deliberately NO collect-to-driver Dataset sink here — the
+  // deploy path writes via writeEntityCsvDistributed + assembleCsv; fixture
+  // tests format driver-local Seqs with entityCsv directly.
 
-  /** Scale-safe variant of the entity sink: NO driver collect. Rows are
+  /** Scale-safe entity sink: NO driver collect. Rows are
     * range-partitioned on the sort key and formatted per partition, so each
     * task writes one shard and the shards concatenate (in part-file order)
     * to exactly `entityCsv` of the whole dataset. Header rides in a `_header`
@@ -89,10 +87,12 @@ object CsvSinks {
         .filter(_.getFileName.toString.startsWith("part-"))
         .toSeq.sortBy(_.getFileName.toString)
       finally listing.close()
+    // stream each shard (Files.copy) — peak memory is a copy buffer, never
+    // the largest shard
     val os = Files.newOutputStream(out)
     try {
-      os.write(Files.readAllBytes(Paths.get(dir, "_header")))
-      shards.foreach(s => os.write(Files.readAllBytes(s)))
+      Files.copy(Paths.get(dir, "_header"), os)
+      shards.foreach(s => Files.copy(s, os))
     } finally os.close()
   }
 }

@@ -88,6 +88,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN top-k family has NO window funnel: partial-aggregating heap only") {
+    // the round-2 verdict's last weak plan: row_number over partitionBy
+    // (query_id) shuffles |corpus|×|queries| rows into |queries| tasks.
+    // Gate: every ANN query (brute force included) is window-free and the
+    // top-k shows up as an ObjectHashAggregate (partial + final).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("q44_ann_brute_topk", "q45_ann_lsh_topk", "q47_ann_ivf_topk").foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.isEmpty, s"$name re-grew a window: ${wins.headOption}")
+      assert(qe.executedPlan.toString.contains("ObjectHashAggregate"),
+        s"$name lost the partial-aggregating top-k:\n${qe.executedPlan}")
+    }
+  }
+
   test("dedup uses partial aggregation (map-side combine), not a window") {
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val turns = ExtractPipeline.transcripts(spark, 50L, 4)

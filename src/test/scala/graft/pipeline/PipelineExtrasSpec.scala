@@ -40,33 +40,57 @@ class EntityMergeSpec extends AnyFunSuite {
 class ResumableExtractSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
-  test("run commits per-bucket manifests; resume skips committed buckets") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
-    val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
-    val turns = ExtractPipeline.transcripts(spark, 12L, 3)
+  // the same kill/rerun lifecycle must hold through EITHER commit layer —
+  // the TableIO seam is compile-checked AND behavior-checked
+  for ((ioName, io) <- Seq("parquet-manifest" -> ParquetManifestIO,
+      "snapshot-log" -> SnapshotLogIO)) {
+    test(s"[$ioName] single-pass run commits per bucket; resume skips committed") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+      val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
+      val turns = ExtractPipeline.transcripts(spark, 12L, 3)
 
-    val first = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
-    assert(first.map(_.bucket).toSet == Set(0, 1, 2, 3))
-    assert(first.map(_.turns).sum == turns.count())
-    val allModules = ResumableExtract.readModules(spark, dir).count()
-    assert(allModules == first.map(_.modules).sum)
+      val first = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4, io = io)
+      assert(first.map(_.bucket).toSet == Set(0, 1, 2, 3))
+      assert(first.map(_.turns).sum == turns.count())
+      val allModules = ResumableExtract.readModules(spark, dir, io).count()
+      assert(allModules == first.map(_.modules).sum)
 
-    // resume: nothing left to do
-    val second = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
-    assert(second.isEmpty)
+      // resume: nothing left to do
+      val second = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4, io = io)
+      assert(second.isEmpty)
 
-    // partial resume: drop one manifest -> exactly that bucket reruns,
-    // output identical afterwards
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(dir, "_manifest", "bucket-00002.json"))
-    // with the manifest gone (= crash between data write and commit),
-    // readModules must NOT leak the uncommitted bucket's rows
-    val bucket2 = first.find(_.bucket == 2).get.modules
-    assert(ResumableExtract.readModules(spark, dir).count()
-      == allModules - bucket2)
-    val third = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4)
-    assert(third.map(_.bucket) == Seq(2))
-    assert(ResumableExtract.readModules(spark, dir).count() == allModules)
+      // partial resume: roll back one bucket's commit (= crash between data
+      // write and commit) -> readModules must NOT leak that bucket's rows,
+      // and exactly that bucket reruns with identical output afterwards
+      io.rollback(dir, 2)
+      val bucket2 = first.find(_.bucket == 2).get.modules
+      assert(ResumableExtract.readModules(spark, dir, io).count()
+        == allModules - bucket2)
+      val third = ResumableExtract.run(spark, turns, ctx, dir, buckets = 4, io = io)
+      assert(third.map(_.bucket) == Seq(2))
+      assert(third.head.modules == bucket2)
+      assert(ResumableExtract.readModules(spark, dir, io).count() == allModules)
+    }
+  }
+
+  test("snapshot log: every commit is an immutable version; hint flips last") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    SnapshotLogIO.init(dir)
+    assert(SnapshotLogIO.committedBuckets(dir).isEmpty)
+    SnapshotLogIO.commitBucket(dir, BucketStat(3, 10, 5, 1))
+    SnapshotLogIO.commitBucket(dir, BucketStat(1, 7, 2, 0))
+    assert(SnapshotLogIO.committedBuckets(dir) == Seq(1, 3))
+    // re-commit of the same bucket replaces its stats, not duplicates
+    SnapshotLogIO.commitBucket(dir, BucketStat(3, 11, 6, 0))
+    assert(SnapshotLogIO.committedBuckets(dir) == Seq(1, 3))
+    SnapshotLogIO.rollback(dir, 3)
+    assert(SnapshotLogIO.committedBuckets(dir) == Seq(1))
+    // immutable log: all versions still present on disk
+    val meta = java.nio.file.Paths.get(dir, "metadata")
+    val versions = java.nio.file.Files.list(meta).iterator()
+    var vs = List.empty[String]
+    while (versions.hasNext) vs ::= versions.next().getFileName.toString
+    assert(vs.count(_.matches("v\\d+\\.json")) == 4)
   }
 }
 
