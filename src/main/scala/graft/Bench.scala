@@ -135,6 +135,25 @@ object Bench {
       } catch { case _: Throwable => }
     }
 
+    // ANN recall gate at bench scale (round-3 verdict #4): recall@10 of the
+    // LSH and IVF paths vs the exact brute-force baseline, on THIS sf dir.
+    // Collects only |queries| x k rows (50 each) — bounded by construction.
+    def topIds(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val (recallLsh, recallIvf) = try {
+      val exact = topIds("q44_ann_brute_topk")
+      def recallOf(name: String): Double = {
+        val got = topIds(name)
+        val per = exact.map { case (q, ids) =>
+          got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+        per.sum / per.size
+      }
+      (recallOf("q45_ann_lsh_topk"), recallOf("q47_ann_ivf_topk"))
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     def fmt(v: Double) = f"$v%.3f"
     val mins = headline.map(n => n ->
       (if (samples(n).nonEmpty) samples(n).min else -1.0))
@@ -155,7 +174,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum + math.max(extractSec, 0)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$Rounds,"spread_max_over_min":$sp}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$Rounds,"recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f},"spread_max_over_min":$sp}""")
     spark.stop()
   }
 }

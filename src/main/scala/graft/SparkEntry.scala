@@ -106,7 +106,7 @@ object SparkEntry {
         changed = fresh.nonEmpty
         if (changed) {
           rules ++= fresh
-          val ctx1 = new ModuleParser.Context(TranscriptGen.allEntityIds.contains, rules)
+          val ctx1 = ExtractPipeline.makeContext(TranscriptGen.allEntityIds, rules)
           val next = ExtractPipeline.errors(ExtractPipeline.extract(turns, ctx1))
             .persist(storage)
           if (lastErrors ne firstErrors) lastErrors.unpersist()
@@ -280,6 +280,15 @@ object SparkEntry {
         ExtractPipeline.cleanTurns(ex).toDF()
           .filter(length(col("clean_text")) > 0))
     }),
+    "q52_conversation_agg" -> ((s, dir) => {
+      // the SAME reassembly served by the custom TypedImperativeAggregate
+      // (plans.OrderedConcat) — the aggregate-tier demo, held to the same
+      // DuckDB string_agg oracle as q29
+      val ex = runExtraction(s, dir)
+      ExtractPipeline.conversationTextAgg(
+        ExtractPipeline.cleanTurns(ex).toDF()
+          .filter(length(col("clean_text")) > 0))
+    }),
     "q48_sessionize" -> ((s, dir) => {
       // gap-based sessionization over the events stream table — the temporal
       // twin of the tokenizer's spatial gap grouping (G9): a >30-minute gap
@@ -365,10 +374,15 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // nBits sized to corpus density: 2^6 buckets keeps ≥~8 candidates per
-      // probe set at small sf; at scale raise nBits with corpus size.
+      // Sizing (rule at Similarity.lshCandidates): nBits=6 keeps ~2000/64 ≈
+      // 31 vectors/bucket; the bench corpus is near-isotropic (top-10
+      // neighbors at cos≈0.3 → per-plane disagreement p≈0.40, the
+      // adversarial case), so one table at probe radius 1 recalls only
+      // ≈0.23 and the 0.9 recall gate (BENCH recall_at_10) needs L=10
+      // independent tables: 1-(1-0.23)^10 ≈ 0.93. Clustered production
+      // embeddings (p≈0.2) hit the same target with L=2-4 at nBits 16+.
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "qv", 10,
-        dim = 64, nBits = 6)
+        dim = 64, nBits = 6, nTables = 10)
         .withColumn("cos", round(col("cos"), 6))
     }),
 
@@ -387,9 +401,14 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // probes=7 of k=8: on the near-isotropic bench corpus IVF recall
+      // tracks the probed fraction (centroids carry little signal — recall
+      // 0.66 measured at probes=4), so the 0.9 recall gate needs
+      // probes ≈ 0.9k. Clustered production embeddings concentrate
+      // neighbors in 1-2 cells; there probes ≈ 2-3 of a much larger k.
       val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 8)
       graft.operators.Ivf.topK(e, "vec_id", "embedding",
-        queries, "qid", "qv", 10, model, probes = 4)
+        queries, "qid", "qv", 10, model, probes = 7)
         .withColumn("cos", round(col("cos"), 6))
     }),
 
@@ -514,15 +533,18 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64)
         .select("id_a", "id_b")),
     "ann_lsh_cands" -> ((s, dir) => {
+      // params MUST mirror q45_ann_lsh_topk exactly — the oracle re-ranks
+      // this candidate set
       val e = embCorpus(s, dir)
       Similarity.lshCandidates(e, "vec_id", "embedding", annQueries(e), "qid", "qv",
-        dim = 64, nBits = 6).select("query_id", "id")
+        dim = 64, nBits = 6, nTables = 10).select("query_id", "id")
     }),
     "ann_ivf_cands" -> ((s, dir) => {
+      // params MUST mirror q47_ann_ivf_topk exactly
       val e = embCorpus(s, dir)
       val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 8)
       graft.operators.Ivf.candidates(e, "vec_id", "embedding",
-        annQueries(e), "qid", "qv", model, probes = 4).select("query_id", "id")
+        annQueries(e), "qid", "qv", model, probes = 7).select("query_id", "id")
     }),
     "media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.synthesizeMedia(load(s, dir, "documents"), s))
@@ -760,6 +782,14 @@ object SparkEntry {
          |  coalesce(a.errors_after, 0) AS errors_after,
          |  (SELECT count(*) FROM ${t("skip_rules")}) AS skip_rules
          |FROM b LEFT JOIN a USING (code)""".stripMargin,
+    "q52_conversation_agg" ->
+      s"""SELECT conv_id, count(*) AS prose_turns,
+         |  string_agg(clean_text, chr(10) || chr(10) ORDER BY turn_idx)
+         |    AS conversation_text,
+         |  CAST(length(string_agg(clean_text, chr(10) || chr(10)
+         |    ORDER BY turn_idx)) AS INTEGER) AS n_chars
+         |FROM ${t("ext_clean")} WHERE length(clean_text) > 0
+         |GROUP BY conv_id""".stripMargin,
     "q29_conversation_text" ->
       s"""SELECT conv_id, count(*) AS prose_turns,
          |  string_agg(clean_text, chr(10) || chr(10) ORDER BY turn_idx)

@@ -31,26 +31,38 @@ object Extractor {
     val turn = Turn(convId, turnIdx, null, text, null, null)
     val blocks = Blocker.blockTree(turn.text, scratch)
 
-    val modules = Vector.newBuilder[ExtractedModule]
-    val entities = Vector.newBuilder[EntityRegister]
-    val errors = Vector.newBuilder[ExtractionError]
+    // builders are LAZY: most turns have no entities and no errors, and
+    // prose-only turns have no modules — four eager builders per turn were
+    // measurable allocation (BENCH/BASELINE.md §3)
+    var modules: scala.collection.immutable.VectorBuilder[ExtractedModule] = null
+    var entities: scala.collection.immutable.VectorBuilder[EntityRegister] = null
+    var errors: scala.collection.immutable.VectorBuilder[ExtractionError] = null
     // clean text assembles in ONE buffer (no per-block substring + mkString
     // double copy — prose dominates transcript bytes, so the saved copy is
     // the largest per-turn allocation after the output rows)
     var proseBuf: java.lang.StringBuilder = null
-    val proseSpans = Vector.newBuilder[Span]
+    var proseSpans: scala.collection.immutable.VectorBuilder[Span] = null
     var blocksKept = 0
     var rowsTokenized = 0
 
-    blocks.foreach { cb =>
+    // index loops, not foreach: closures over the mutable locals above would
+    // lift every var into a heap Ref and allocate a closure per turn
+    var bi = 0
+    while (bi < blocks.length) {
+      val cb = blocks(bi)
       val b = cb.block
       b.kind match {
         case BlockKind.Header =>
           blocksKept += 1
           val headerStr = Blocker.headerText(cb)
           EntityParser.parse(headerStr) match {
-            case Right(reg) => entities += reg
+            case Right(reg) =>
+              if (entities == null)
+                entities = new scala.collection.immutable.VectorBuilder[EntityRegister]
+              entities += reg
             case Left(f) =>
+              if (errors == null)
+                errors = new scala.collection.immutable.VectorBuilder[ExtractionError]
               errors += ExtractionError(
                 turn.conv_id, turn.turn_idx, b.ordinal, -1, -1,
                 f.code, -1, f.detail, headerStr)
@@ -63,6 +75,8 @@ object Extractor {
               if (f.code != ErrorCode.BadNumericId) {
                 EntityParser.parseNumIdOnly(headerStr) match {
                   case Right(id) if ctx.entityIds(id) =>
+                    if (entities == null)
+                      entities = new scala.collection.immutable.VectorBuilder[EntityRegister]
                     entities += EntityRegister(id, "", "",
                       if (id < EntityParser.CommunityStartId) "person"
                       else "community", "")
@@ -75,7 +89,10 @@ object Extractor {
           blocksKept += 1
           var rowOrdinal = 0
           val text = turn.text
-          cb.raw.lineBounds.foreach { lb =>
+          val lineBounds = cb.raw.lineBounds
+          var li = 0
+          while (li < lineBounds.length) {
+            val lb = lineBounds(li)
             val ls = Blocker.lineStart(lb)
             val le = Blocker.lineEnd(lb)
             var payloadChars = 0
@@ -90,6 +107,8 @@ object Extractor {
               val numModules = Tokenizer.moduleCount(rowLen)
               if (numModules > ModuleParser.MaxModulesPerRow) {
                 // Row cap — diary_module_parser.py:122-124.
+                if (errors == null)
+                  errors = new scala.collection.immutable.VectorBuilder[ExtractionError]
                 errors += ExtractionError(
                   turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal, -1,
                   ErrorCode.ModulesNumberExceeded, -1, numModules.toString,
@@ -98,45 +117,61 @@ object Extractor {
                 var m = 0
                 while (m < numModules) {
                   val str = Tokenizer.moduleStr(scratch, m, rowLen)
-                  ModuleParser.parseModule(m, str, ctx) match {
-                    case Right(pm) =>
-                      val span = Tokenizer.moduleSpanPacked(scratch, m, rowLen)
-                      modules += ExtractedModule(
-                        turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
-                        m, pm.moduleType, pm.zones, str,
-                        Blocker.lineStart(span), Blocker.lineEnd(span))
-                    case Left(e) =>
-                      errors += ExtractionError(
-                        turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
-                        m, e.code, e.catalogId, e.zoneStr, str)
+                  // hot-path parse: outcome lands in the reusable scratch
+                  // holder — no Either/Option/ParsedModule per module
+                  if (ModuleParser.parseModuleInto(m, str, ctx, scratch.parse)) {
+                    val span = Tokenizer.moduleSpanPacked(scratch, m, rowLen)
+                    if (modules == null) modules =
+                      new scala.collection.immutable.VectorBuilder[ExtractedModule]
+                    modules += ExtractedModule(
+                      turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
+                      m, scratch.parse.moduleType,
+                      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                        scratch.parse.zones), str,
+                      Blocker.lineStart(span), Blocker.lineEnd(span))
+                  } else {
+                    if (errors == null)
+                      errors = new scala.collection.immutable.VectorBuilder[ExtractionError]
+                    errors += ExtractionError(
+                      turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
+                      m, scratch.parse.errCode, scratch.parse.errCatalog,
+                      scratch.parse.errZone, str)
                   }
                   m += 1
                 }
               }
               rowOrdinal += 1
             }
+            li += 1
           }
 
         case BlockKind.Prose =>
           blocksKept += 1
           // block lines are contiguous (single '\n' separators), so the raw
           // span slice equals the lines joined by '\n'
-          if (proseBuf == null) proseBuf = new java.lang.StringBuilder(b.span.length)
-          else proseBuf.append("\n\n")
+          if (proseBuf == null) {
+            proseBuf = new java.lang.StringBuilder(b.span.length)
+            proseSpans = new scala.collection.immutable.VectorBuilder[Span]
+          } else proseBuf.append("\n\n")
           proseBuf.append(turn.text, b.span.start, b.span.end)
           proseSpans += b.span
 
         case _ => // separator / boilerplate: dropped
       }
+      bi += 1
     }
 
     val clean = CleanTurn(
       turn.conv_id, turn.turn_idx,
-      if (proseBuf == null) "" else proseBuf.toString, proseSpans.result(),
+      if (proseBuf == null) "" else proseBuf.toString,
+      if (proseSpans == null) Vector.empty else proseSpans.result(),
       n_blocks_total = blocks.length, n_blocks_kept = blocksKept)
 
     TurnExtraction(
-      modules.result(), entities.result(), errors.result(), clean,
+      if (modules == null) Vector.empty else modules.result(),
+      if (entities == null) Vector.empty else entities.result(),
+      if (errors == null) Vector.empty else errors.result(),
+      clean,
       blocksTotal = blocks.length, blocksKept = blocksKept,
       rowsTokenized = rowsTokenized)
   }

@@ -90,16 +90,31 @@ object Grammar {
     m
   }
 
-  /** Resolve the module type of a raw module string; None = unrecognized. */
-  def moduleType(moduleStr: String): Option[String] = {
+  /** Hot-path type resolve: null = unrecognized. No Option wrapper — the
+    * extraction loop calls this once per module (BENCH/BASELINE.md §3
+    * allocation diet). */
+  def moduleTypeOrNull(moduleStr: String): String = {
     val m = rewritePrefix(moduleStr)
     var i = 0
     while (i < typesByLength.length) { // no iterator/closure on the hot path
-      if (m.startsWith(typesByLength(i))) return Some(typesByLength(i))
+      if (m.startsWith(typesByLength(i))) return typesByLength(i)
       i += 1
     }
-    None
+    null
   }
+
+  /** Resolve the module type of a raw module string; None = unrecognized. */
+  def moduleType(moduleStr: String): Option[String] =
+    Option(moduleTypeOrNull(moduleStr))
+
+  /** Allocation-free zone-layout lookup (immutable Map.get allocates a Some
+    * per call; the extraction loop does one lookup per module). */
+  private val zonesByType: java.util.HashMap[String, List[(Int, Int)]] = {
+    val m = new java.util.HashMap[String, List[(Int, Int)]]()
+    moduleZones.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  def zonesFor(tpe: String): List[(Int, Int)] = zonesByType.get(tpe)
 
   // char fixes as unboxed match functions + copy-on-write application: the
   // parse path calls these per zone on mostly-clean input; `String.map` over
@@ -140,10 +155,19 @@ object Grammar {
     case '0' => 'O'; case '1' => 'I'; case _ => c
   }
 
-  private val digitCatalogs: Set[Int] =
-    Set(2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16, 17, 18, 19, 20, 21, 22, 23, 24,
-      33, 34, 35, 36, 37, 40)
-  private val alphaCatalogs: Set[Int] = Set(29, 31, 39)
+  // membership as Boolean arrays: Set[Int].contains boxes its argument on
+  // every call, and these run once per zone in the extraction loop
+  private val digitCatalogs: Array[Boolean] = {
+    val a = new Array[Boolean](64)
+    Seq(2, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+      33, 34, 35, 36, 37, 40).foreach(a(_) = true)
+    a
+  }
+  private val alphaCatalogs: Array[Boolean] = {
+    val a = new Array[Boolean](64)
+    Seq(29, 31, 39).foreach(a(_) = true)
+    a
+  }
 
   /** Per-catalog confusion fix (diary_module_parser.py:81-114,292-298). */
   def fixKnownIssues(catalogId: Int, zoneStr: String): String = {
@@ -154,9 +178,9 @@ object Grammar {
       placesBigrams.foldLeft(afterChars) { case (s, (bad, good)) =>
         s.replace(bad, good)
       }
-    } else if (digitCatalogs.contains(catalogId)) {
+    } else if (catalogId >= 0 && catalogId < 64 && digitCatalogs(catalogId)) {
       mapCharsCow(zoneStr, digitFixChar)
-    } else if (alphaCatalogs.contains(catalogId)) {
+    } else if (catalogId >= 0 && catalogId < 64 && alphaCatalogs(catalogId)) {
       mapCharsCow(zoneStr, alphaFixChar)
     } else zoneStr
   }

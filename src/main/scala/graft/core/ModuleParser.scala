@@ -40,55 +40,136 @@ object ModuleParser {
       skipRules.contains(SkipRule(moduleOrdinal, e.catalogId, e.zoneStr))
   }
 
-  def defaultContext(entityIds: Set[Int]): Context =
-    new Context(entityIds.contains, Set.empty)
+  /** Unboxed membership for the entity-id universe: Set[Int].contains boxes
+    * its argument on every FK zone; a bitset predicate through the
+    * @specialized Function1[Int, Boolean] does not. */
+  def entityIdPredicate(ids: Set[Int]): Int => Boolean = {
+    val bs = new java.util.BitSet
+    ids.foreach(i => if (i >= 0) bs.set(i))
+    val hasNegative = ids.exists(_ < 0) // defensive: synthetic ids are ≥ 0
+    if (hasNegative) ids.contains _
+    else (i: Int) => i >= 0 && bs.get(i)
+  }
 
-  /** Parse one 10-char module slice. Left = fatal error for this module. */
+  def defaultContext(entityIds: Set[Int]): Context =
+    new Context(entityIdPredicate(entityIds), Set.empty)
+
+  /** Reusable per-thread parse outcome — the hot loop's replacement for the
+    * Either/Option wrapper tower (≈10 wrapper objects per module; the
+    * extraction loop emits millions of modules, BENCH/BASELINE.md §3). On
+    * success `moduleType`/`zones` are set (zones escapes into the output
+    * row — that allocation is the floor, not overhead); on failure the err*
+    * fields are set. One instance rides in Tokenizer.Scratch. */
+  final class ParseResult {
+    var moduleType: String = _
+    var zones: Array[String] = _
+    var errCode: String = _
+    var errCatalog: Int = 0
+    var errZone: String = _
+    @inline def fail(code: String, catalogId: Int, zone: String): Boolean = {
+      errCode = code; errCatalog = catalogId; errZone = zone; false
+    }
+  }
+
+  /** Allocation-free all-digits check (Pattern.matcher allocates a Matcher
+    * per call — and year zones appear 1–2× in nearly every module type). */
+  @inline private def isAllDigits(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  /** Hot-path module parse: true = success (res.moduleType/zones set),
+    * false = fatal error (res.err* set). Allocates only the output zones
+    * array + zone strings. */
+  def parseModuleInto(
+      moduleOrdinal: Int,
+      moduleStr: String,
+      ctx: Context,
+      res: ParseResult): Boolean = {
+    val tpe = Grammar.moduleTypeOrNull(moduleStr)
+    if (tpe == null)
+      return res.fail(ErrorCode.ModuleTypeNotRecognized, -1, moduleStr)
+    val zones = Grammar.zonesFor(tpe)
+    val out = new Array[String](zones.length)
+    var zi = 0
+    var index = tpe.length
+    var rest = zones
+    while (rest.nonEmpty) {
+      val zone = rest.head
+      rest = rest.tail
+      val catalogId = zone._1
+      val width = zone._2
+      val end = math.min(index + width, moduleStr.length)
+      val zoneStr = if (index >= moduleStr.length) "" else moduleStr.substring(index, end)
+      val v = parseZoneInto(catalogId, zoneStr, ctx, res)
+      if (v != null) out(zi) = v
+      else if (ctx.shouldSkip(moduleOrdinal,
+          ZoneError(res.errCode, res.errCatalog, res.errZone))) out(zi) = zoneStr
+      else return false
+      index += width
+      zi += 1
+    }
+    res.moduleType = tpe
+    res.zones = out
+    true
+  }
+
+  /** Hot-path zone decode: the value, or null with res.err* set. */
+  def parseZoneInto(catalogId0: Int, zoneStr: String, ctx: Context,
+      res: ParseResult): String = {
+    if (zoneStr.isEmpty) {
+      res.fail(ErrorCode.BadZoneString, catalogId0, zoneStr); return null
+    }
+    if (catalogId0 == 0) return zoneStr // free text
+    if (catalogId0 == 1) { // year (diary_module_parser.py:251-266)
+      val tmp = Grammar.fixYear(zoneStr)
+      if (tmp.indexOf('_') >= 0 || isAllDigits(tmp)) return tmp
+      res.fail(ErrorCode.BadYear, 1, zoneStr); return null
+    }
+    if (catalogId0 == 32 || catalogId0 == 42) { // entity FK (:268-290)
+      val fixed = Grammar.fixEntityId(zoneStr)
+      if (fixed.contains("000")) return fixed
+      // length guard: module-path zones are width ≤ 4, but this is public
+      // API — an adversarial 10+-digit string must degrade, not throw
+      if (!isAllDigits(fixed) || fixed.length > 9) {
+        res.fail(ErrorCode.BadNumId, catalogId0, fixed); return null
+      }
+      val numId = java.lang.Integer.parseInt(fixed) // ≤9 digits: cannot throw
+      if (ctx.entityIds(numId)) return fixed
+      res.fail(ErrorCode.NoEntityRegister, catalogId0, fixed); return null
+    }
+    val catalogId = if (catalogId0 == 27) 9 else catalogId0 // alias :227-228
+    val fixed = Grammar.fixKnownIssues(catalogId, zoneStr)
+    if (Catalogs.contains(catalogId, fixed)) fixed
+    else { res.fail(ErrorCode.InvalidValueOnZone, catalogId0, fixed); null }
+  }
+
+  /** Parse one 10-char module slice. Left = fatal error for this module.
+    * (Wrapper over the hot-path form — tests and non-hot callers.) */
   def parseModule(
       moduleOrdinal: Int,
       moduleStr: String,
       ctx: Context
   ): Either[ZoneError, ParsedModule] = {
-    Grammar.moduleType(moduleStr) match {
-      case None =>
-        Left(ZoneError(ErrorCode.ModuleTypeNotRecognized, -1, moduleStr))
-      case Some(tpe) =>
-        val zones = Grammar.moduleZones(tpe)
-        val out = new Array[String](zones.length)
-        var zi = 0
-        var index = tpe.length
-        var rest = zones
-        while (rest.nonEmpty) {
-          val (catalogId, width) = rest.head
-          rest = rest.tail
-          val end = math.min(index + width, moduleStr.length)
-          val zoneStr = if (index >= moduleStr.length) "" else moduleStr.substring(index, end)
-          parseZone(catalogId, zoneStr, ctx) match {
-            case Right(v) => out(zi) = v
-            case Left(e) =>
-              if (ctx.shouldSkip(moduleOrdinal, e)) out(zi) = zoneStr
-              else return Left(e)
-          }
-          index += width
-          zi += 1
-        }
-        Right(ParsedModule(tpe, scala.collection.immutable.ArraySeq.unsafeWrapArray(out)))
-    }
+    val res = new ParseResult
+    if (parseModuleInto(moduleOrdinal, moduleStr, ctx, res))
+      Right(ParsedModule(res.moduleType,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(res.zones)))
+    else Left(ZoneError(res.errCode, res.errCatalog, res.errZone))
   }
 
   /** Decode one zone (diary_module_parser.py:209-249). */
   def parseZone(catalogId0: Int, zoneStr: String, ctx: Context): Either[ZoneError, String] = {
-    if (zoneStr.isEmpty)
-      return Left(ZoneError(ErrorCode.BadZoneString, catalogId0, zoneStr))
-
-    if (catalogId0 == 0) return Right(zoneStr) // free text
-    if (catalogId0 == 1) return parseYear(zoneStr)
-    if (catalogId0 == 32 || catalogId0 == 42) return resolveEntity(catalogId0, zoneStr, ctx)
-
-    val catalogId = if (catalogId0 == 27) 9 else catalogId0 // alias :227-228
-    val fixed = Grammar.fixKnownIssues(catalogId, zoneStr)
-    if (Catalogs.contains(catalogId, fixed)) Right(fixed)
-    else Left(ZoneError(ErrorCode.InvalidValueOnZone, catalogId0, fixed))
+    val res = new ParseResult
+    val v = parseZoneInto(catalogId0, zoneStr, ctx, res)
+    if (v != null) Right(v)
+    else Left(ZoneError(res.errCode, res.errCatalog, res.errZone))
   }
 
   /** Year zone (diary_module_parser.py:251-266): confusion fix, '_' passthrough
@@ -96,24 +177,21 @@ object ModuleParser {
   def parseYear(yearStr: String): Either[ZoneError, String] = {
     val tmp = Grammar.fixYear(yearStr)
     if (tmp.contains('_')) Right(tmp)
-    else if (AllDigits.matcher(tmp).matches()) Right(tmp)
+    else if (isAllDigits(tmp)) Right(tmp)
     else Left(ZoneError(ErrorCode.BadYear, 1, yearStr))
   }
 
   /** Entity FK zone (diary_module_parser.py:268-290): fix _→0 O→0, '000'
     * substring accepted raw, else digits → id → broadcast-set membership. */
   def resolveEntity(catalogId: Int, zoneStr0: String, ctx: Context): Either[ZoneError, String] = {
-    val zoneStr = Grammar.fixEntityId(zoneStr0)
-    if (zoneStr.contains("000")) return Right(zoneStr)
-    if (!AllDigits.matcher(zoneStr).matches() || zoneStr.isEmpty)
-      return Left(ZoneError(ErrorCode.BadNumId, catalogId, zoneStr))
-    val numId =
-      try zoneStr.toInt
-      catch {
-        case _: NumberFormatException =>
-          return Left(ZoneError(ErrorCode.BadNumId, catalogId, zoneStr))
-      }
-    if (ctx.entityIds(numId)) Right(zoneStr)
-    else Left(ZoneError(ErrorCode.NoEntityRegister, catalogId, zoneStr))
+    val res = new ParseResult
+    if (zoneStr0.isEmpty) {
+      // preserve the standalone API's historical empty-string behavior
+      val fixed = Grammar.fixEntityId(zoneStr0)
+      return Left(ZoneError(ErrorCode.BadNumId, catalogId, fixed))
+    }
+    val v = parseZoneInto(catalogId, zoneStr0, ctx, res)
+    if (v != null) Right(v)
+    else Left(ZoneError(res.errCode, res.errCatalog, res.errZone))
   }
 }

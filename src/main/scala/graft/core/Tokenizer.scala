@@ -96,6 +96,8 @@ object Tokenizer {
     var buf: Array[Char] = new Array[Char](256)
     var offs: Array[Int] = new Array[Int](256)
     var lineBuf: Array[Long] = new Array[Long](64)
+    /** Reusable module-parse outcome holder (no Either/Option per module). */
+    val parse = new ModuleParser.ParseResult
     def ensure(n: Int): Unit =
       if (buf.length < n) {
         val cap = math.max(n, buf.length * 2)

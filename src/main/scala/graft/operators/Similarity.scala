@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (nBits × dim), values in
-    * [-1, 1], splitmix-scrambled — no RNG state, same planes everywhere. */
-  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] =
-    Array.tabulate(nBits) { p =>
+    * [-1, 1], splitmix-scrambled — no RNG state, same planes everywhere.
+    * `planeOffset` selects an independent plane block (hash table t uses
+    * offset t*nBits). */
+  def hyperplanes(dim: Int, nBits: Int, planeOffset: Int = 0): Array[Array[Double]] =
+    Array.tabulate(nBits) { p0 =>
+      val p = p0 + planeOffset
       Array.tabulate(dim) { d =>
         var z = 0x9e3779b97f4a7c15L * (p * 1024 + d + 1)
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -62,24 +65,38 @@ object Similarity {
       "query_id", "id", "cos", k)
   }
 
-  /** LSH-bucketed ANN candidate set, UNRANKED: corpus vectors whose
-    * signature is the query's signature or one bit away (multi-probe
-    * radius 1). Returns (query_id, id, v, qv) — the vectors ride along so
-    * the re-rank stays a single corpus scan. */
+  /** LSH-bucketed ANN candidate set, UNRANKED: corpus vectors that share a
+    * bucket with the query in ANY of `nTables` independent hash tables,
+    * probing the query's own bucket + all single-bit flips (multi-probe
+    * radius 1) per table. Returns (query_id, id, v, qv) — the vectors ride
+    * along so the re-rank stays a single corpus scan.
+    *
+    * SIZING RULE (documented for the q45 call site): if a true neighbor
+    * disagrees with the query on each plane with probability p (p = θ/π for
+    * angle θ), one table at radius 1 recalls r₁ = (1-p)^n + n·p·(1-p)^(n-1);
+    * L independent tables recall 1-(1-r₁)^L. Pick nBits from the corpus
+    * size (buckets ≈ |corpus| / desired bucket occupancy) and then L to hit
+    * the recall target. Clustered production embeddings (p ≈ 0.15–0.25)
+    * need L = 2–4 even at nBits 16+; the bench corpus is near-isotropic
+    * (top-10 neighbors at cos ≈ 0.3 → p ≈ 0.40), the adversarial case,
+    * needing L ≈ 10 at nBits = 6. Index cost scales linearly with L — the
+    * classic multi-table trade (Indyk & Motwani 1998; MMDS ch.3). */
   def lshCandidates(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      dim: Int, nBits: Int = 12): DataFrame = {
-    val planes = hyperplanes(dim, nBits)
+      dim: Int, nBits: Int = 12, nTables: Int = 1): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(dim, nBits, t * nBits))
+    // corpus side: one (table, sig) row per table — the L-table index
+    val sigs = array(tables.map(p => signSignature(col(vecCol), p)): _*)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signSignature(col(vecCol), planes).as("sig"))
-    // each query probes its own bucket + all single-bit flips
-    val probeSigs = array(col("qsig") +:
-      (0 until nBits).map(b => col("qsig").bitwiseXOR(lit(1L << b))): _*)
+        posexplode(sigs).as(Seq("table", "sig")))
+    // query side: per table, own bucket + all single-bit flips
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
-      signSignature(col(qvecCol), planes).as("qsig"))
-      .withColumn("sig", explode(probeSigs))
-    c.join(broadcast(q), Seq("sig"))
+        posexplode(array(tables.map(p => signSignature(col(qvecCol), p)): _*))
+          .as(Seq("table", "qsig")))
+      .withColumn("sig", explode(array(col("qsig") +:
+        (0 until nBits).map(b => col("qsig").bitwiseXOR(lit(1L << b))): _*)))
+    c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
       .select(col("query_id"), col("id"), col("v"), col("qv"))
@@ -101,7 +118,8 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, dim: Int, nBits: Int = 12): DataFrame =
+      k: Int, dim: Int, nBits: Int = 12, nTables: Int = 1): DataFrame =
     rerankTopK(
-      lshCandidates(corpus, idCol, vecCol, queries, qidCol, qvecCol, dim, nBits), k)
+      lshCandidates(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        dim, nBits, nTables), k)
 }

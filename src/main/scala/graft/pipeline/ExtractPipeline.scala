@@ -40,7 +40,7 @@ object ExtractPipeline {
   /** Broadcast extraction context: entity-id set + skip rules. Catalogs are
     * compile-time data (Catalogs.tables) and ship inside the closure. */
   def makeContext(entityIds: Set[Int], skipRules: Set[SkipRule] = Set.empty): ModuleParser.Context =
-    new ModuleParser.Context(entityIds.contains, skipRules)
+    new ModuleParser.Context(ModuleParser.entityIdPredicate(entityIds), skipRules)
 
   // ---- sources -------------------------------------------------------------
 
@@ -318,6 +318,22 @@ object ExtractPipeline {
           x => x.getField("seg_text"))).as("conversation_text"))
       .withColumn("n_chars", length(col("conversation_text")))
   }
+
+  /** Aggregate-tier variant of conversationText: one `ordered_concat`
+    * TypedImperativeAggregate call per conversation (graft.plans
+    * .OrderedConcat). Same output, different trade-off: per-GROUP state (the
+    * whole conversation) with spill-capable serialization, vs the two-phase
+    * form's per-TASK StringBuilder. Shipped q29 stays two-phase; this is the
+    * demonstrated custom-aggregate tier, oracle-checked as q52. */
+  def conversationTextAgg(clean: DataFrame): DataFrame =
+    clean
+      .select(col("conv_id"), col("turn_idx"), col("clean_text"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("prose_turns"),
+        graft.plans.OrderedConcat(col("turn_idx"), col("clean_text"), "\n\n")
+          .as("conversation_text"))
+      .withColumn("n_chars", length(col("conversation_text")))
 
   // ---- resume (J4) -----------------------------------------------------------
 

@@ -53,10 +53,23 @@ object AllocProbe {
         Tokenizer.tokenizeRow(text, lo, hi, lo, scratch)
       }
     }
-    measure("tokenize+parse") {
+    measure("tokenize+parse (Either API)") {
       contentRows.foreach { case (text, lo, hi) =>
         Tokenizer.tokenizeRow(text, lo, hi, lo, scratch)
           .foreach(s => ModuleParser.parseModule(s.ordinal, s.str, ctx))
+      }
+    }
+    // the REAL hot loop shape: fillRow + parseModuleInto, no wrappers
+    measure("tokenize+parse (hot path)") {
+      contentRows.foreach { case (text, lo, hi) =>
+        val rowLen = Tokenizer.fillRow(text, lo, hi, lo, scratch)
+        val n = Tokenizer.moduleCount(rowLen)
+        var m = 0
+        while (m < n) {
+          val str = Tokenizer.moduleStr(scratch, m, rowLen)
+          ModuleParser.parseModuleInto(m, str, ctx, scratch.parse)
+          m += 1
+        }
       }
     }
   }

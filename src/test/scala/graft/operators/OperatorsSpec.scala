@@ -256,6 +256,14 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall $recall") // approximate by design
     assert(lsh.size <= 50)
+    // multi-table LSH: more independent tables strictly widen the candidate
+    // union, so recall must not drop and should clearly improve
+    val lsh4 = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", 10, dim = 12, nBits = 5, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall4 = (brute intersect lsh4).size.toDouble / brute.size
+    assert(recall4 >= recall, s"recall1 $recall recall4 $recall4")
+    assert(recall4 >= 0.6, s"recall4 $recall4")
   }
 }
 
