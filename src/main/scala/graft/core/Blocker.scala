@@ -218,12 +218,48 @@ object Blocker {
   def blockTree(text: String): Vector[ClassifiedBlock] =
     blockTree(text, new Tokenizer.Scratch)
 
-  /** Scratch form for hot partition loops. */
+  /** Scratch form for hot partition loops. Split and classify are FUSED:
+    * each block is classified at flush time, so the intermediate
+    * Vector[RawBlock] of the two-phase form never materializes (the
+    * two-phase `splitBlocks` remains for tests and non-hot callers —
+    * differential-checked in BlockerSpec). */
   def blockTree(text: String, scratch: Tokenizer.Scratch): Vector[ClassifiedBlock] = {
-    val raws = splitBlocks(text, scratch)
-    val out = Vector.newBuilder[ClassifiedBlock]
-    var i = 0
-    raws.foreach { raw => out += classify(raw, i); i += 1 }
+    val out = new scala.collection.immutable.VectorBuilder[ClassifiedBlock]
+    var nLines = 0
+    var curStart = -1
+    var curEnd = -1
+    var ordinal = 0
+    val n = text.length
+    var lo = 0
+    while (lo <= n) {
+      val nl = text.indexOf('\n', lo)
+      val end = if (nl < 0) n else nl
+      val blank = isBlankLine(text, lo, end)
+      if (blank) {
+        if (nLines > 0) {
+          out += classify(RawBlock(text, Span(curStart, curEnd),
+            java.util.Arrays.copyOf(scratch.lineBuf, nLines)), ordinal)
+          ordinal += 1
+          nLines = 0
+        }
+        curStart = -1; curEnd = -1
+      } else {
+        if (curStart < 0) curStart = lo
+        curEnd = end
+        scratch.ensureLines(nLines + 1)
+        scratch.lineBuf(nLines) = packLine(lo, end)
+        nLines += 1
+      }
+      if (nl < 0) {
+        if (nLines > 0) {
+          out += classify(RawBlock(text, Span(curStart, curEnd),
+            java.util.Arrays.copyOf(scratch.lineBuf, nLines)), ordinal)
+          ordinal += 1
+          nLines = 0
+        }
+        lo = n + 1
+      } else lo = nl + 1
+    }
     out.result()
   }
 

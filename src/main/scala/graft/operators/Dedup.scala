@@ -122,12 +122,14 @@ object Dedup {
       } else {
         (candidates, base.select(col("id"), shingled.as("sh")))
       }
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // fused native expression: no intersect/union result arrays per pair
+    // (they were built only to take their sizes); coalesce preserves the
+    // composed form's null-array -> 0.0 behavior
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", when(union > 0, inter / union).otherwise(0.0))
+      .withColumn("jaccard", coalesce(
+        graft.functions.ArrayJaccard(col("sh_a"), col("sh_b")), lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -143,14 +145,11 @@ object Dedup {
       threshold, shingleK)
 
   /** Exact word-n-gram Jaccard between two text columns — the verification
-    * primitive exposed standalone. */
-  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(TextStats.shinglesCol(textA, k))
-    val sb = array_distinct(TextStats.shinglesCol(textB, k))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = size(array_union(sa, sb)).cast("double")
-    when(union > 0, inter / union).otherwise(0.0)
-  }
+    * primitive exposed standalone (fused native expression; dedup happens
+    * inside ArrayJaccard). */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column =
+    coalesce(graft.functions.ArrayJaccard(
+      TextStats.shinglesCol(textA, k), TextStats.shinglesCol(textB, k)), lit(0.0))
 
   // ---- SimHash -------------------------------------------------------------
 

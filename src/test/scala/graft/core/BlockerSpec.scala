@@ -54,6 +54,18 @@ class BlockerSpec extends AnyFunSuite {
   test("tiny blocks drop (MinChars)") {
     assert(Blocker.blockTree("AB").head.block.kind == BlockKind.Boilerplate)
   }
+
+  test("fused blockTree == splitBlocks + classify on a whole corpus") {
+    val turns = graft.fixtures.TranscriptGen.corpus(
+      graft.fixtures.TranscriptGen.DefaultSeed, 40)
+    turns.foreach { t =>
+      val fused = Blocker.blockTree(t.text)
+      val twoPhase = Blocker.splitBlocks(t.text).zipWithIndex
+        .map { case (raw, i) => Blocker.classify(raw, i) }
+      assert(fused.map(_.block) == twoPhase.map(_.block), t.conv_id)
+      assert(fused.map(_.raw.lineBounds.toSeq) == twoPhase.map(_.raw.lineBounds.toSeq))
+    }
+  }
 }
 
 class ExtractorSpec extends AnyFunSuite {
