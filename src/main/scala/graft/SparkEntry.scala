@@ -337,6 +337,38 @@ object SparkEntry {
       d.select(col("doc_id"), TextStats.fingerprintCol(col("text")).as("fingerprint"))
     }),
 
+    // ---- corpus curation: sampling / selection / decontamination -----------
+    "q53_stratified_sample" -> ((s, dir) => {
+      // deterministic md5-coin stratified sample (language rebalancing):
+      // keep ~50% of en, ~10% of everything else; exactly reproducible by
+      // any engine with md5 (the DuckDB oracle recomputes the keep set)
+      graft.operators.Sampling.stratifiedSample(
+        load(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", Map("en" -> "8000"), defaultHex = "1999", seed = "s53")
+    }),
+    "q54_quality_topk_per_lang" -> ((s, dir) => {
+      // per-language quality quota: the TopK heap aggregate composed with
+      // the oracle-proven quality score — no window, partial-aggregating
+      val d = load(s, dir, "documents")
+      val score = TextStats.qualityColumns(col("text")).toMap.apply("quality_score")
+      graft.operators.TopK.topKPerGroup(
+        d.select(col("lang"), col("doc_id"), score.as("quality_score")),
+        "lang", "doc_id", "quality_score", 3)
+    }),
+    "q55_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: drop candidate docs whose fingerprint
+      // collides with the (deterministically chosen) eval split
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val fp = d.select(col("doc_id"),
+        TextStats.fingerprintCol(col("text")).as("fp"),
+        (substring(md5(concat(lit("s55|"), col("doc_id").cast("string"))), 1, 1)
+          === "0").as("is_eval"))
+      graft.operators.Sampling.decontaminate(
+        fp.filter(!col("is_eval")).select(col("doc_id"), col("fp")),
+        fp.filter(col("is_eval")), "fp")
+        .select(col("doc_id"), col("fp"))
+    }),
+
     // ---- dedup family (q40 oracle-checked; LSH variants rows-only + specs) --
     "q40_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(load(s, dir, "documents"), "doc_id", "text")
@@ -679,6 +711,40 @@ object SparkEntry {
         |    ELSE [array_to_string(words, ' ')] END AS shingles
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
         |        FROM documents) w) s""".stripMargin,
+    "q53_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(concat('s53|', CAST(doc_id AS VARCHAR))), 1, 4) <
+        |  (CASE WHEN lang = 'en' THEN '8000' ELSE '1999' END)""".stripMargin,
+    "q54_quality_topk_per_lang" ->
+      """SELECT lang, doc_id, quality_score, rank FROM (
+        |  SELECT lang, doc_id, q AS quality_score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rank
+        |  FROM (SELECT lang, doc_id,
+        |    least(1.0,
+        |      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |        / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END * 0.6
+        |      + CASE WHEN length(regexp_split_to_array(trim(text), '\s+'))
+        |          BETWEEN 10 AND 2000 THEN 0.3 ELSE 0.0 END
+        |      + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+        |          / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END < 0.1
+        |          THEN 0.1 ELSE 0.0 END) AS q
+        |  FROM documents) b) t
+        |WHERE rank <= 3""".stripMargin,
+    "q55_decontaminate" ->
+      """WITH w AS (SELECT doc_id, text,
+        |             regexp_split_to_array(trim(text), '\s+') AS words
+        |           FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |         [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+        |       ELSE [array_to_string(words, ' ')] END AS shingles FROM w),
+        |f AS (SELECT doc_id,
+        |        list_min(list_transform(shingles, x -> md5(x))) AS fp,
+        |        substr(md5(concat('s55|', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
+        |          AS is_eval
+        |      FROM sh)
+        |SELECT doc_id, fp FROM f t
+        |WHERE NOT is_eval
+        |  AND NOT EXISTS (SELECT 1 FROM f e WHERE e.is_eval AND e.fp = t.fp)""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_docs

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-curation sampling + decontamination — the
+  * data-selection operators a training-data pipeline runs right after
+  * dedup, built to be exactly reproducible across engines and runs.
+  *
+  * The sampling coin is `md5(seed "|" id)` compared as a HEX-PREFIX string
+  * against a threshold: portable (md5 is md5 everywhere, so a DuckDB/Trino
+  * audit recomputes the identical keep set — unlike xxhash64/rand(seed),
+  * which are engine-specific), seedable (different seeds = independent
+  * coins), and partition-independent. A 4-hex-digit prefix gives rate
+  * granularity 1/65536: threshold "8000" ≈ 50%, "1999" ≈ 10%.
+  */
+object Sampling {
+
+  /** The [0,1)-uniform coin for an id under a seed, as a 4-hex-char string. */
+  def coin(idCol: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + "|"), idCol.cast("string"))), 1, 4)
+
+  /** Keep predicate: coin < thresholdHex (4 lowercase hex chars). */
+  def keep(idCol: Column, seed: String, thresholdHex: String): Column =
+    coin(idCol, seed) < lit(thresholdHex)
+
+  /** Uniform deterministic sample. */
+  def sample(df: DataFrame, idCol: String, seed: String,
+      thresholdHex: String): DataFrame =
+    df.filter(keep(col(idCol), seed, thresholdHex))
+
+  /** Stratified deterministic sample: per-stratum hex thresholds (e.g.
+    * lang -> rate for language rebalancing), `defaultHex` for unlisted
+    * strata. Scales as a pure filter — no shuffle, pushes nothing to the
+    * driver, and the same row set falls out at any parallelism. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], defaultHex: String,
+      seed: String): DataFrame = {
+    val thr = thresholds.foldLeft(lit(defaultHex)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(coin(col(idCol), seed) < thr)
+  }
+
+  /** Benchmark decontamination: drop every candidate row whose fingerprint
+    * collides with the eval set's fingerprints. The eval fingerprint set is
+    * tiny by construction → broadcast anti-join (PlanSpec-gated), so the
+    * candidate side streams with no shuffle. `fpCol` must already be on
+    * both frames (e.g. TextStats.fingerprintCol). */
+  def decontaminate(candidates: DataFrame, evalDocs: DataFrame,
+      fpCol: String): DataFrame =
+    candidates.join(
+      broadcast(evalDocs.select(col(fpCol)).distinct()), Seq(fpCol), "left_anti")
+}

@@ -103,6 +103,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 decontamination anti-join is broadcast; q54 top-k is window-free") {
+    val p55 = plan("q55_decontaminate")
+    assert(p55.contains("BroadcastHashJoin") && p55.contains("LeftAnti"), p55)
+    assert(!p55.contains("SortMergeJoin"), p55)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q54 = SparkEntry.queries("q54_quality_topk_per_lang")(spark, sf)
+      .queryExecution
+    assert(q54.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(q54.executedPlan.toString.contains("ObjectHashAggregate"))
+  }
+
   test("dedup uses partial aggregation (map-side combine), not a window") {
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val turns = ExtractPipeline.transcripts(spark, 50L, 4)
