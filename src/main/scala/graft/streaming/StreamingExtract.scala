@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.pipeline.ExtractPipeline
 
+/** Per-conversation reassembly state: arrival-order (turn_idx, clean_text)
+  * pairs + max event time seen. The state IS the conversation — the
+  * aggregate-tier trade-off (see plans.OrderedConcat); use the streaming
+  * form for live tails and the batch two-phase `conversationText` for
+  * closed corpora. */
+final case class ConvBuffer(keys: Seq[Int], texts: Seq[String], maxTs: Long)
+
+/** Emitted assembled conversation (same shape as batch conversationText). */
+final case class ConvAssembly(conv_id: String, prose_turns: Long,
+    conversation_text: String, n_chars: Int)
+
 /** Structured Streaming face of the extractor.
   *
   * The reference is a resumable batch pipeline with NO streaming (SURVEY
@@ -117,6 +128,71 @@ object StreamingExtract {
             state.update(true)
             replayHorizon.foreach(state.setTimeoutDuration)
             if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming ordered conversation reassembly — the event-time twin of
+    * batch q29/q52: per conversation, buffer the clean turn texts as they
+    * arrive (any order), and emit the `turn_idx`-ordered concatenation once
+    * the event-time watermark passes the conversation's last activity plus
+    * `quietGapMs` (the "conversation closed" signal — the temporal analog of
+    * q48's session gap). Late turns within `lateness` reorder correctly
+    * because ordering happens at emission, not arrival.
+    *
+    * Replayed turns must be deduplicated upstream (`dedupTurnsStream`) —
+    * this operator buffers every arrival. State per key is the whole
+    * conversation (documented aggregate-tier trade-off above). */
+  def conversationStream(turns: Dataset[Turn], ctx: ModuleParser.Context,
+      lateness: String = "10 minutes",
+      quietGapMs: Long = 30L * 60 * 1000): Dataset[ConvAssembly] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bc = spark.sparkContext.broadcast(ctx)
+    val clean = turns
+      .select(col("conv_id"), col("turn_idx"), col("text"), col("ts"))
+      .as[(String, Int, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val c = bc.value
+        val scratch = new Tokenizer.Scratch
+        it.flatMap { case (conv, idx, text, ts) =>
+          val ct = Extractor.extract(conv, idx, text, c, scratch).clean
+          if (ct.clean_text.nonEmpty) Iterator.single((conv, idx, ct.clean_text, ts))
+          else Iterator.empty
+        }
+      }
+      .toDF("conv_id", "turn_idx", "clean_text", "ts")
+      .withWatermark("ts", lateness)
+    clean.as[(String, Int, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ConvBuffer, ConvAssembly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (conv: String, rows: Iterator[(String, Int, String, java.sql.Timestamp)],
+         state: GroupState[ConvBuffer]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // stable sort on turn_idx: ordering decided at emission
+            val ordered = st.keys.zip(st.texts).sortBy(_._1)
+            val text = ordered.iterator.map(_._2).mkString("\n\n")
+            Iterator.single(ConvAssembly(conv, ordered.size.toLong, text, text.length))
+          } else {
+            val st0 = state.getOption.getOrElse(ConvBuffer(Vector.empty, Vector.empty, 0L))
+            var keys = st0.keys
+            var texts = st0.texts
+            var maxTs = st0.maxTs
+            rows.foreach { r =>
+              keys = keys :+ r._2
+              texts = texts :+ r._3
+              maxTs = math.max(maxTs, r._4.getTime)
+            }
+            state.update(ConvBuffer(keys, texts, maxTs))
+            // close when the watermark passes last activity + quiet gap;
+            // the timestamp must sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxTs + quietGapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
       }
   }

@@ -87,6 +87,53 @@ class StreamingExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ordered reassembly == batch conversationText (q29 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // two conversations, turns deliberately OUT of order within the stream
+    val base = TranscriptGen.corpus(TranscriptGen.DefaultSeed, 4)
+    val convA = base.filter(_.conv_id == base.head.conv_id).take(6)
+    val convB = base.filter(_.conv_id != base.head.conv_id).take(6)
+    val timed = (convA ++ convB).zipWithIndex.map { case (t, i) =>
+      t.copy(ts = at(i % 4)) // all activity inside 4 minutes
+    }
+    val shuffled = new scala.util.Random(5).shuffle(timed)
+
+    val stream = MemoryStream[Turn]
+    val q = StreamingExtract.conversationStream(stream.toDS(), ctx,
+      lateness = "1 minute", quietGapMs = 5L * 60 * 1000)
+      .writeStream.format("memory").queryName("stream_convs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(shuffled)
+      q.processAllAvailable()
+      // advance the watermark far past lastActivity + quietGap (two extra
+      // batches: one to raise the watermark, one to fire the timeouts)
+      val advancer = timed.head.copy(conv_id = "wm-advancer", ts = at(120))
+      stream.addData(Seq(advancer))
+      q.processAllAvailable()
+      stream.addData(Seq(advancer.copy(turn_idx = advancer.turn_idx + 1, ts = at(121))))
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_convs").as[ConvAssembly]
+        .collect().filter(_.conv_id != "wm-advancer")
+        .map(a => (a.conv_id, a.prose_turns, a.conversation_text, a.n_chars))
+        .sortBy(_._1)
+      val batch = ExtractPipeline.conversationText(
+        ExtractPipeline.cleanTurns(
+          ExtractPipeline.extract(timed.toDS(), ctx)).toDF()
+          .filter(org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("clean_text")) > 0))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .sortBy(_._1)
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("watermarked windowed metrics aggregate per conversation per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
