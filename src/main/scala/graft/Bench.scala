@@ -145,6 +145,7 @@ object Bench {
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val (recallLsh, recallIvf) = try {
       val exact = topIds("q44_ann_brute_topk")
+      require(exact.nonEmpty, "empty exact top-k") // no silent NaN in the JSON
       def recallOf(name: String): Double = {
         val got = topIds(name)
         val per = exact.map { case (q, ids) =>

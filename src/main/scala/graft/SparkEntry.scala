@@ -359,10 +359,14 @@ object SparkEntry {
       // benchmark decontamination: drop candidate docs whose fingerprint
       // collides with the (deterministically chosen) eval split
       val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      // localCheckpoint: fp feeds BOTH join sides — without it the
+      // shingle+md5 fingerprint pipeline (the query's dominant cost) would
+      // execute twice; checkpoint blocks free with the plan (no session pin)
       val fp = d.select(col("doc_id"),
         TextStats.fingerprintCol(col("text")).as("fp"),
         (substring(md5(concat(lit("s55|"), col("doc_id").cast("string"))), 1, 1)
           === "0").as("is_eval"))
+        .localCheckpoint()
       graft.operators.Sampling.decontaminate(
         fp.filter(!col("is_eval")).select(col("doc_id"), col("fp")),
         fp.filter(col("is_eval")), "fp")

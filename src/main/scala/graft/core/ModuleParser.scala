@@ -20,7 +20,6 @@ object ModuleParser {
   val MaxModulesPerRow = 3 // diary_module_parser.py:122-124
   val SpaceChar = '_' // diary_module_parser.py:77
 
-  private val AllDigits = "^[0-9]*$".r.pattern // YEAR_PATTERN / NUM_ID_PATTERN :78-79
 
   final case class ZoneError(code: String, catalogId: Int, zoneStr: String)
 
@@ -71,8 +70,10 @@ object ModuleParser {
     }
   }
 
-  /** Allocation-free all-digits check (Pattern.matcher allocates a Matcher
-    * per call — and year zones appear 1–2× in nearly every module type). */
+  /** Allocation-free all-digits check — the YEAR_PATTERN / NUM_ID_PATTERN
+    * semantics (diary_module_parser.py:78-79, `^[0-9]*$`) without a
+    * Pattern.matcher allocation per call (year zones appear 1–2× in nearly
+    * every module type). */
   @inline private def isAllDigits(s: String): Boolean = {
     var i = 0
     val n = s.length
@@ -135,12 +136,21 @@ object ModuleParser {
     if (catalogId0 == 32 || catalogId0 == 42) { // entity FK (:268-290)
       val fixed = Grammar.fixEntityId(zoneStr)
       if (fixed.contains("000")) return fixed
-      // length guard: module-path zones are width ≤ 4, but this is public
-      // API — an adversarial 10+-digit string must degrade, not throw
-      if (!isAllDigits(fixed) || fixed.length > 9) {
+      if (!isAllDigits(fixed)) {
         res.fail(ErrorCode.BadNumId, catalogId0, fixed); return null
       }
-      val numId = java.lang.Integer.parseInt(fixed) // ≤9 digits: cannot throw
+      // Exactly the historical toInt-or-BadNumId semantics: Int-range
+      // all-digit strings (module-path zones are width ≤ 4, but this is
+      // public API) resolve against the universe (→ NoEntityRegister when
+      // absent, as in the reference); only Int-overflow degrades to
+      // BadNumId, and without the exception cost for >10-digit floods.
+      val numId =
+        if (fixed.length > 10) -1
+        else try java.lang.Integer.parseInt(fixed)
+        catch { case _: NumberFormatException => -1 }
+      if (numId < 0) {
+        res.fail(ErrorCode.BadNumId, catalogId0, fixed); return null
+      }
       if (ctx.entityIds(numId)) return fixed
       res.fail(ErrorCode.NoEntityRegister, catalogId0, fixed); return null
     }

@@ -145,6 +145,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("array_jaccard"),
+      new ExpressionInfo(classOf[graft.functions.ArrayJaccard].getName, "array_jaccard"),
+      (exprs: Seq[Expression]) => graft.functions.ArrayJaccard(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("ordered_concat"),
+      new ExpressionInfo(classOf[OrderedConcat].getName, "ordered_concat"),
+      (exprs: Seq[Expression]) =>
+        OrderedConcat(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
   }
 }
 
@@ -156,5 +165,7 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseHofCosine
     CosineSimilarity.register(spark)
+    graft.functions.ArrayJaccard.register(spark)
+    OrderedConcat.register(spark)
   }
 }

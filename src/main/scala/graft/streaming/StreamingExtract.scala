@@ -176,18 +176,23 @@ object StreamingExtract {
             // stable sort on turn_idx: ordering decided at emission
             val ordered = st.keys.zip(st.texts).sortBy(_._1)
             val text = ordered.iterator.map(_._2).mkString("\n\n")
-            Iterator.single(ConvAssembly(conv, ordered.size.toLong, text, text.length))
+            // code POINTS, matching batch length()/the DuckDB oracle —
+            // String.length would count UTF-16 units (diverges on non-BMP)
+            Iterator.single(ConvAssembly(conv, ordered.size.toLong, text,
+              text.codePointCount(0, text.length)))
           } else {
             val st0 = state.getOption.getOrElse(ConvBuffer(Vector.empty, Vector.empty, 0L))
-            var keys = st0.keys
-            var texts = st0.texts
+            // batch-local buffers, ONE concat per invocation — per-row :+ on
+            // the decoded state Seq would copy the whole buffer per turn
+            val newKeys = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val newTexts = scala.collection.mutable.ArrayBuffer.empty[String]
             var maxTs = st0.maxTs
             rows.foreach { r =>
-              keys = keys :+ r._2
-              texts = texts :+ r._3
+              newKeys += r._2
+              newTexts += r._3
               maxTs = math.max(maxTs, r._4.getTime)
             }
-            state.update(ConvBuffer(keys, texts, maxTs))
+            state.update(ConvBuffer(st0.keys ++ newKeys, st0.texts ++ newTexts, maxTs))
             // close when the watermark passes last activity + quiet gap;
             // the timestamp must sit strictly above the current watermark
             state.setTimeoutTimestamp(

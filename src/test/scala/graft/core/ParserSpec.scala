@@ -172,6 +172,20 @@ class ModuleParserSpec extends AnyFunSuite {
     assert(ModuleParser.resolveEntity(32, "8777", ctx).swap.toOption.get.code == ErrorCode.NoEntityRegister)
   }
 
+  test("entity FK long-digit edges keep the historical toInt semantics") {
+    // 10 digits but Int-range: parses, fails the lookup -> NO_ENTITY_REGISTER
+    // (the reference's arbitrary-precision int() + dict miss,
+    // diary_module_parser.py:282-288)
+    assert(ModuleParser.resolveEntity(32, "1234567891", ctx)
+      .swap.toOption.get.code == ErrorCode.NoEntityRegister)
+    // Int overflow (would throw in toInt) degrades to BAD_NUM_ID, no throw
+    assert(ModuleParser.resolveEntity(32, "9999999999", ctx)
+      .swap.toOption.get.code == ErrorCode.BadNumId)
+    // adversarial digit flood: no exception, BAD_NUM_ID
+    assert(ModuleParser.resolveEntity(32, "1" * 40, ctx)
+      .swap.toOption.get.code == ErrorCode.BadNumId)
+  }
+
   test("skip rules: tolerated zone failure keeps the raw zone string") {
     val miss = Catalogs.missKey(30)
     val m = "A" + miss + "44" + Catalogs.keys(2)(1) + Catalogs.keys(3)(1) + "44" + Catalogs.keys(2)(1)
