@@ -15,24 +15,66 @@ object EntityParser {
   val CommunityStartId = 9000 // annuary_register_parser.py:6
   val MaxNumId = 9850 // annuary_register_parser.py:7
 
-  private val NumIdPattern = "^[0-9]*$".r
-  private val LetIdPattern = "^[A-Z]*$".r
-  private val PersonNamePattern = """^[A-Z0-9+*". \(\)\/]*$""".r
-  private val CommunityNamePattern = """^[A-Z0-9\-+*. \(\)\/]*$""".r
+  // The reference's `^...$` patterns (annuary_register_parser.py:10-14) as
+  // data: kept for the differential spec; the parse path uses the
+  // allocation-free char-class scans below (each fullMatch allocated a
+  // Matcher, ~5 per header — measured 2.9 KB/header, AllocProbe).
+  private[core] val NumIdPattern = "^[0-9]*$".r
+  private[core] val LetIdPattern = "^[A-Z]*$".r
+  private[core] val PersonNamePattern = """^[A-Z0-9+*". \(\)\/]*$""".r
+  private[core] val CommunityNamePattern = """^[A-Z0-9\-+*. \(\)\/]*$""".r
   private val ParenthesisGroup = """\(([A-Za-z0-9]+)\)""".r
-  private val Numbers = """\d""".r
 
   final case class ParseFailure(code: String, detail: String)
 
-  // Python's re.match anchors at the start only; with `^...$` patterns that is
-  // full-string match (annuary_register_parser.py uses ^..$ everywhere).
-  private def fullMatch(r: scala.util.matching.Regex, s: String): Boolean =
-    r.pattern.matcher(s).matches()
+  // Python's re.match anchors at the start only; with `^...$` patterns that
+  // is full-string match (annuary_register_parser.py uses ^..$ everywhere);
+  // empty strings match the `*` quantifier in all four patterns.
+  @inline private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private[core] def allDigits(s: String): Boolean = { // ^[0-9]*$
+    var i = 0; while (i < s.length) { if (!isAsciiDigit(s.charAt(i))) return false; i += 1 }
+    true
+  }
+  private[core] def allUpper(s: String): Boolean = { // ^[A-Z]*$
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i); if (c < 'A' || c > 'Z') return false; i += 1
+    }
+    true
+  }
+  // note the asymmetry, preserved from the reference: person names admit
+  // '"' but not '-'; community names admit '-' but not '"'
+  @inline private def nameCharCommon(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || isAsciiDigit(c) || c == '+' || c == '*' ||
+      c == '.' || c == ' ' || c == '(' || c == ')' || c == '/'
+  private[core] def personNameOk(s: String): Boolean = { // ^[A-Z0-9+*". \(\)\/]*$
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!nameCharCommon(c) && c != '"') return false
+      i += 1
+    }
+    true
+  }
+  private[core] def communityNameOk(s: String): Boolean = { // ^[A-Z0-9\-+*. \(\)\/]*$
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!nameCharCommon(c) && c != '-') return false
+      i += 1
+    }
+    true
+  }
 
   def tokenize(s: String): Array[String] =
     s.split(' ').filter(_.nonEmpty) // annuary_register_parser.py:153-154
 
-  def containsNumbers(s: String): Boolean = Numbers.findFirstIn(s).isDefined
+  /** `\d` under Java's default (ASCII) semantics. */
+  def containsNumbers(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (isAsciiDigit(s.charAt(i))) return true; i += 1 }
+    false
+  }
 
   /** Full register parse: `raw` is one header string (newlines already folded
     * to spaces by the caller, mirroring :31). */
@@ -43,11 +85,11 @@ object EntityParser {
       return Left(ParseFailure(ErrorCode.InsufficientTokens, registerStr))
 
     val lettersId = tokens(0)
-    if (!fullMatch(LetIdPattern, lettersId) || lettersId.length < 2)
+    if (!allUpper(lettersId) || lettersId.length < 2)
       return Left(ParseFailure(ErrorCode.BadLetterId, lettersId))
 
     val numbersIdStr = tokens(1)
-    if (!fullMatch(NumIdPattern, numbersIdStr) || numbersIdStr.isEmpty)
+    if (!allDigits(numbersIdStr) || numbersIdStr.isEmpty)
       return Left(ParseFailure(ErrorCode.BadNumericId, numbersIdStr))
     // Post-regex overflow = an all-digit id too large for Int. The
     // reference's unbounded Python int passes the regex and fails the
@@ -77,9 +119,9 @@ object EntityParser {
     val isPerson = kind == "person"
     if (!isPerson && name.nonEmpty) name = '*' + name.substring(1) // :159-162
 
-    if (isPerson && !fullMatch(PersonNamePattern, name))
+    if (isPerson && !personNameOk(name))
       return Left(ParseFailure(ErrorCode.InvalidName, name))
-    if (!isPerson && !fullMatch(CommunityNamePattern, name))
+    if (!isPerson && !communityNameOk(name))
       return Left(ParseFailure(ErrorCode.InvalidName, name))
 
     // Info extraction (:129-151): parenthesis group, community first token,
@@ -105,7 +147,7 @@ object EntityParser {
     if (tokens.length < 3)
       return Left(ParseFailure(ErrorCode.InsufficientTokens, registerStr))
     val numbersIdStr = tokens(1)
-    if (!fullMatch(NumIdPattern, numbersIdStr) || numbersIdStr.isEmpty)
+    if (!allDigits(numbersIdStr) || numbersIdStr.isEmpty)
       return Left(ParseFailure(ErrorCode.BadNumericId, numbersIdStr))
     try {
       val n = numbersIdStr.toInt

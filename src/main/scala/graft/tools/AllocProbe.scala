@@ -72,5 +72,32 @@ object AllocProbe {
         }
       }
     }
+    // decomposition of the remaining extract cost
+    measure("canonicalize only") {
+      turns.foreach(t => Normalizer.canonicalize(t.text))
+    }
+    val headerStrs = turns.flatMap { t =>
+      Blocker.blockTree(t.text, scratch).collect {
+        case cb if cb.block.kind == BlockKind.Header => Blocker.headerText(cb)
+      }
+    }
+    println(s"headers: ${headerStrs.length}")
+    measure("header parse only") {
+      headerStrs.foreach(EntityParser.parse)
+    }
+    measure("prose assembly only") {
+      turns.foreach { t =>
+        val blocks = Blocker.blockTree(t.text, scratch)
+        var sb: java.lang.StringBuilder = null
+        blocks.foreach { cb =>
+          if (cb.block.kind == BlockKind.Prose) {
+            if (sb == null) sb = new java.lang.StringBuilder(cb.block.span.length)
+            else sb.append("\n\n")
+            sb.append(t.text, cb.block.span.start, cb.block.span.end)
+          }
+        }
+        if (sb != null) sb.toString
+      }
+    }
   }
 }

@@ -60,6 +60,29 @@ class EntityParserSpec extends AnyFunSuite {
   }
 }
 
+class CharClassScanSpec extends AnyFunSuite {
+  // the hand scans ARE the reference regexes — pinned by differential
+  // property over a charset that straddles every class boundary
+  private val alphabet =
+    "AZaz09+-*\". ()/\\[]{}<>_=,:;!?'é\n\t" + "BKQ158"
+  private val rnd = new scala.util.Random(17)
+  private def randStr(): String =
+    Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+
+  test("allDigits/allUpper/name scans == the reference ^...$ patterns") {
+    val cases = Seq("", "A", "-", "\"", "0", "A-B", "A\"B") ++ Seq.fill(2000)(randStr())
+    cases.foreach { s =>
+      assert(EntityParser.allDigits(s) == EntityParser.NumIdPattern.pattern.matcher(s).matches(), s)
+      assert(EntityParser.allUpper(s) == EntityParser.LetIdPattern.pattern.matcher(s).matches(), s)
+      assert(EntityParser.personNameOk(s) ==
+        EntityParser.PersonNamePattern.pattern.matcher(s).matches(), s)
+      assert(EntityParser.communityNameOk(s) ==
+        EntityParser.CommunityNamePattern.pattern.matcher(s).matches(), s)
+      assert(EntityParser.containsNumbers(s) == "\\d".r.findFirstIn(s).isDefined, s)
+    }
+  }
+}
+
 class ModuleParserSpec extends AnyFunSuite {
 
   private val ctx = ModuleParser.defaultContext(Set(123, 1500, 9001))
