@@ -166,9 +166,12 @@ object Blocker {
   private def startsWithAt(text: String, prefix: String, lo: Int, hi: Int): Boolean =
     hi - lo >= prefix.length && text.startsWith(prefix, lo)
 
-  /** Feature extraction + classification of one raw block — one pass over
-    * the block's characters (plus the link scan); zero allocation for
-    * dropped blocks. */
+  /** Feature extraction + classification of one raw block — ONE fused pass
+    * per line (char counts + link-region detection interleaved, exactly
+    * linkCharsOf's leftmost-match semantics; the separator probe early-exits
+    * on the first non-=/− char); zero allocation for dropped blocks.
+    * Count/link equivalence vs the standalone scans is property-pinned in
+    * BlockerSpec. */
   def classify(raw: RawBlock, ordinal: Int): ClassifiedBlock = {
     val text = raw.text
     val nLines = raw.lineBounds.length
@@ -190,9 +193,35 @@ object Blocker {
         val c = text.charAt(i)
         if (Character.isLetterOrDigit(c)) alnum += 1
         if (c != ' ') { nonSpace += 1; if (isPayloadChar(c)) payload += 1 }
-        i += 1
+        // link-region detection fused in: same leftmost-match rules as
+        // linkCharsOf, but chars inside a link still count above, so the
+        // inner consume loops repeat the counting
+        if (c == '<') {
+          var j = i + 1
+          while (j < le && text.charAt(j) != '>') j += 1
+          if (j < le) { // a closed tag: consume it, counting its chars
+            linkChars += j - i + 1
+            i += 1 // '<' already counted above
+            while (i <= j) {
+              val lc = text.charAt(i)
+              if (Character.isLetterOrDigit(lc)) alnum += 1
+              if (lc != ' ') { nonSpace += 1; if (isPayloadChar(lc)) payload += 1 }
+              i += 1
+            }
+          } else i += 1
+        } else if (c == 'h' &&
+            (text.startsWith("http://", i) || text.startsWith("https://", i))) {
+          var j = i + 1 // 'h' already counted above
+          while (j < le && !isJavaRegexSpace(text.charAt(j)) && text.charAt(j) != '<') {
+            val lc = text.charAt(j)
+            if (Character.isLetterOrDigit(lc)) alnum += 1
+            if (lc != ' ') { nonSpace += 1; if (isPayloadChar(lc)) payload += 1 }
+            j += 1
+          }
+          linkChars += j - i
+          i = j
+        } else i += 1
       }
-      linkChars += linkCharsOf(text, ls, le)
       if (allSeparator && !isSeparatorRange(text, ls, le)) allSeparator = false
       if (!hasHeader && startsWithAt(text, HeaderMarker, ls, le)) hasHeader = true
       li += 1

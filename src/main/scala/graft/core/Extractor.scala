@@ -150,7 +150,17 @@ object Extractor {
           // block lines are contiguous (single '\n' separators), so the raw
           // span slice equals the lines joined by '\n'
           if (proseBuf == null) {
-            proseBuf = new java.lang.StringBuilder(b.span.length)
+            // exact-size buffer: sum the remaining prose spans once so the
+            // builder never grows (prose dominates transcript bytes; a
+            // growth doubling re-copies all of it)
+            var cap = 0
+            var pj = bi
+            while (pj < blocks.length) {
+              val pb = blocks(pj).block
+              if (pb.kind == BlockKind.Prose) cap += pb.span.length + 2
+              pj += 1
+            }
+            proseBuf = new java.lang.StringBuilder(math.max(cap - 2, 0))
             proseSpans = new scala.collection.immutable.VectorBuilder[Span]
           } else proseBuf.append("\n\n")
           proseBuf.append(turn.text, b.span.start, b.span.end)

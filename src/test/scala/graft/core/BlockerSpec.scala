@@ -55,6 +55,31 @@ class BlockerSpec extends AnyFunSuite {
     assert(Blocker.blockTree("AB").head.block.kind == BlockKind.Boilerplate)
   }
 
+  test("fused classify counts == standalone char-count + linkCharsOf scans") {
+    val rnd = new scala.util.Random(23)
+    val pieces = Vector("WORD", "a9", "<b>", "<unclosed", "http://x.co/p q",
+      "https://y.io", "== =", "# HDR", "_", "<a href=x>t</a>", "plain text here",
+      "ht", "h", "<>", "9 9 9")
+    (1 to 300).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(8) + 1)(pieces(rnd.nextInt(pieces.length)))
+        .mkString(Seq(" ", "\n", "\n\n")(rnd.nextInt(3)))
+      Blocker.splitBlocks(text).zipWithIndex.foreach { case (raw, i) =>
+        val b = Blocker.classify(raw, i).block
+        // independent recomputation with the standalone scans
+        var nChars = 0; var alnum = 0; var links = 0
+        raw.lineBounds.foreach { lb =>
+          val ls = Blocker.lineStart(lb); val le = Blocker.lineEnd(lb)
+          nChars += le - ls
+          links += Blocker.linkCharsOf(text, ls, le)
+          (ls until le).foreach(ci =>
+            if (Character.isLetterOrDigit(text.charAt(ci))) alnum += 1)
+        }
+        assert((b.nChars, b.alnumChars, b.linkChars) == ((nChars, alnum, links)),
+          s"text=<$text> block=$i")
+      }
+    }
+  }
+
   test("fused blockTree == splitBlocks + classify on a whole corpus") {
     val turns = graft.fixtures.TranscriptGen.corpus(
       graft.fixtures.TranscriptGen.DefaultSeed, 40)
