@@ -337,6 +337,28 @@ object SparkEntry {
       d.select(col("doc_id"), TextStats.fingerprintCol(col("text")).as("fingerprint"))
     }),
 
+    "q56_asof_join" -> ((s, dir) => {
+      // attribution: each purchase joined as-of to the user's latest click
+      // at or before it (inclusive). Right side pre-deduped per (user, ts)
+      // keeping max event_id — the operator's determinism precondition —
+      // identically in the DuckDB ASOF JOIN oracle.
+      val e = load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("click_id"))
+      graft.operators.AsOf.asofJoin(
+        purchases, clicks, key = "user_id", leftTs = "purchase_ts",
+        rightTs = "click_ts")
+        .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+          col("purchase_value"),
+          col("asof.click_id").as("click_id"),
+          col("asof.click_ts").as("click_ts"))
+    }),
+
     // ---- corpus curation: sampling / selection / decontamination -----------
     "q53_stratified_sample" -> ((s, dir) => {
       // deterministic md5-coin stratified sample (language rebalancing):
@@ -715,6 +737,16 @@ object SparkEntry {
         |    ELSE [array_to_string(words, ' ')] END AS shingles
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
         |        FROM documents) w) s""".stripMargin,
+    "q56_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |             value AS purchase_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id, purchase_id, purchase_ts, purchase_value,
+        |  c.click_id, c.click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts""".stripMargin,
     "q53_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(concat('s53|', CAST(doc_id AS VARCHAR))), 1, 4) <
