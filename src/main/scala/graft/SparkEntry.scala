@@ -405,6 +405,16 @@ object SparkEntry {
         threshold = 0.7)
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
+    "q57_dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact-complete n-gram Jaccard join (prefix-filtered inverted index):
+      // unlike q41's probabilistic banding this returns EVERY pair with
+      // J >= 0.7; the oracle re-verifies Jaccard over the materialized
+      // candidate set exactly as for q41
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.ngramNearDups(withPlantedTextDups(base), "doc_id", "text",
+        threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
     "q42_dedup_simhash" -> ((s, dir) => {
       val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.simhashNearDups(withPlantedTextDups(base), "doc_id", "text", maxDist = 6)
@@ -576,6 +586,11 @@ object SparkEntry {
     "docs_planted" -> ((s, dir) => plantedDocs(s, dir)),
     "minhash_cands" -> ((s, dir) =>
       Dedup.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")),
+    "ngram_cands" -> ((s, dir) =>
+      // params MUST mirror q57_dedup_ngram_jaccard exactly — the oracle
+      // re-verifies Jaccard over this candidate set
+      Dedup.ngramCandidates(plantedDocs(s, dir), "doc_id", "text",
+        threshold = 0.7)),
     "simhash_sigs" -> ((s, dir) =>
       Dedup.simhashSignatures(plantedDocs(s, dir), "doc_id", "text")),
     "simhash_cands" -> ((s, dir) =>
@@ -915,6 +930,22 @@ object SparkEntry {
          |  FROM ${t("minhash_cands")} c
          |  JOIN sh a ON c.id_a = a.doc_id
          |  JOIN sh b ON c.id_b = b.doc_id) v
+         |WHERE j >= 0.7""".stripMargin,
+    // STRONGER than q41's oracle: the DuckDB side is the full ALL-PAIRS
+    // Jaccard join (feasible at oracle scale), so a prefix-filter false
+    // NEGATIVE — not just a bad verify — breaks the hash. ngram_cands is
+    // still materialized for plan inspection but the oracle doesn't need it.
+    "q57_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) >= 3
+         |    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+         |    ELSE [array_to_string(words, ' ')] END) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+         |        FROM ${t("docs_planted")}) w)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) v
          |WHERE j >= 0.7""".stripMargin,
     "q42_dedup_simhash" ->
       s"""SELECT c.id_a, c.id_b,

@@ -151,6 +151,71 @@ object Dedup {
     coalesce(graft.functions.ArrayJaccard(
       TextStats.shinglesCol(textA, k), TextStats.shinglesCol(textB, k)), lit(0.0))
 
+  // ---- n-gram Jaccard via prefix-filtered inverted index -------------------
+
+  /** Prefix-filtered inverted-index candidate pairs for exact n-gram-Jaccard
+    * join, UNVERIFIED — the third candidate-generation family next to
+    * MinHash banding (probabilistic) and SimHash pigeonholing: this one is
+    * EXACT-COMPLETE (zero false negatives) for Jaccard ≥ `threshold`.
+    * Published method: prefix filtering (Chaudhuri/Ganti/Kaushik, "A
+    * primitive operator for similarity joins in data cleaning", ICDE 2006)
+    * with size filtering (Xiao/Wang/Lin/Yu, "Efficient similarity joins for
+    * near duplicate detection", WWW 2008 — PPJoin's base filter).
+    *
+    * Why it is complete: order every doc's distinct shingles by a global
+    * total order (ascending corpus document frequency, ties by shingle
+    * string) and call the first floor((1-t)*|d|)+1 shingles the doc's
+    * PREFIX. If J(a,b) ≥ t then |a∩b| ≥ ceil(t*|a|), so by pigeonhole the
+    * globally-smallest common shingle sits inside BOTH prefixes — an
+    * equi-join on prefix postings alone surfaces every qualifying pair.
+    *
+    * Why it scales: the prefix keeps each doc's RAREST shingles, so
+    * stopword-like hot shingles are exactly the ones excluded from the
+    * index — posting lists in the join are short by construction (that is
+    * the entire point of df-ascending ordering). Shuffles: one groupBy on
+    * shingle (df, partial-agg), one join back on shingle, one per-doc
+    * window (partitioned by id, bounded by doc length — never global), and
+    * the posting self-join on short lists. Size filter t*max ≤ min prunes
+    * before dedup. Same mass-duplicate precondition as
+    * minhashCandidates: collapse exact duplicates first. */
+  def ngramCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextStats.shinglesCol(col(textCol), shingleK)).as("sh"))
+    val postings = base.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select("shingle", "id", "sz")
+    val a = prefix.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
+        least(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup join: prefix-filtered candidates + exact
+    * Jaccard verify. Unlike minhashNearDups this pipeline is deterministic
+    * AND complete — every pair with word-shingle Jaccard ≥ threshold is
+    * returned, none missed. Returns (id_a, id_b, jaccard), id_a < id_b. */
+  def ngramNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleK: Int = 3): DataFrame =
+    verifyJaccard(docs, idCol, textCol,
+      ngramCandidates(docs, idCol, textCol, threshold, shingleK),
+      threshold, shingleK)
+
   // ---- SimHash -------------------------------------------------------------
 
   /** Hamming distance between two int64 simhashes (bit_count of xor). */

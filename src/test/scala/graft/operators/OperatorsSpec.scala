@@ -122,6 +122,37 @@ class DedupSpec extends AnyFunSuite {
     assert(hit.toDouble / planted75.size >= 0.9, s"$hit/${planted75.size}")
   }
 
+  test("ngram prefix-filter join is exact-complete: equals all-pairs Jaccard") {
+    val docs = planted(corpus(25))
+    val t = 0.6
+    val got = Dedup.ngramNearDups(docs, "doc_id", "text", threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val expect = (for {
+      (a, ta) <- texts
+      (b, tb) <- texts if a < b
+      j = trueJaccard(ta, tb) if j >= t
+    } yield (a, b, j)).sortBy(p => (p._1, p._2))
+    // completeness AND precision: the prefix-filtered join returns exactly
+    // the all-pairs result — no false negatives (the filter theorem), no
+    // false positives (exact verify)
+    assert(got.map(p => (p._1, p._2)).toSeq == expect.map(p => (p._1, p._2)).toSeq)
+    assert(expect.nonEmpty)
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-9) }
+  }
+
+  test("ngram join at threshold 1.0 finds exactly the identical-shingle-set pairs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNearDups(docs, "doc_id", "text", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramNearDups(docs, "doc_id", "text", threshold = 0.0)
+    }
+  }
+
   test("simhash near-dups recover planted pairs within the hamming budget") {
     val docs = planted(corpus(40))
     val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 8)
