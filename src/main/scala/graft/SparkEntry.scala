@@ -359,6 +359,30 @@ object SparkEntry {
           col("asof.click_ts").as("click_ts"))
     }),
 
+    "q58_range_join" -> ((s, dir) => {
+      // incident attribution: every non-error event falling in a 30-minute
+      // window after any error of the same user, aggregated per window.
+      // Bucket width = window length -> interval replication factor 2.
+      // Cent-sums keep the double aggregation bit-stable vs the oracle.
+      val e = load(s, dir, "events")
+      val micros = 1800L * 1000000L
+      // ts is TIMESTAMP_NTZ; the session TZ is UTC in every entry point, so
+      // the LTZ cast makes unix_micros == DuckDB's epoch_us on the naive ts
+      val tsMicros = unix_micros(col("ts").cast("timestamp"))
+      val points = e.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"),
+          tsMicros.as("pts"), col("value"))
+      val windows = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          tsMicros.as("w_start"),
+          (tsMicros + micros).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        points, "pts", windows, "w_start", "w_end", "user_id", micros)
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+    }),
+
     // ---- corpus curation: sampling / selection / decontamination -----------
     "q53_stratified_sample" -> ((s, dir) => {
       // deterministic md5-coin stratified sample (language rebalancing):
@@ -762,6 +786,17 @@ object SparkEntry {
         |  c.click_id, c.click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts""".stripMargin,
+    "q58_range_join" ->
+      """SELECT e.error_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_cents
+        |FROM (SELECT event_id AS error_id, user_id, epoch_us(ts) AS ws,
+        |        epoch_us(ts) + 1800000000 AS we
+        |      FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT user_id, epoch_us(ts) AS pts, value
+        |      FROM events WHERE event_type <> 'error') p
+        |  ON p.user_id = e.user_id AND p.pts >= e.ws AND p.pts < e.we
+        |GROUP BY 1""".stripMargin,
     "q53_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(concat('s53|', CAST(doc_id AS VARCHAR))), 1, 4) <
