@@ -18,7 +18,9 @@ object Bench {
     "q20_extract_modules", "q21_extract_clean_text", "q29_conversation_text",
     "q01_agg", "q03_broadcast_join", "q08_topk_per_group", "q48_sessionize",
     "q30_text_tokens", "q41_dedup_minhash", "q44_ann_brute_topk",
-    "q46_multimodal_features")
+    "q46_multimodal_features",
+    // round-3 additions: as-of join, exact n-gram Jaccard join, range join
+    "q56_asof_join", "q57_dedup_ngram_jaccard", "q58_range_join")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

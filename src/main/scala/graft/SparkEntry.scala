@@ -434,9 +434,14 @@ object SparkEntry {
       // unlike q41's probabilistic banding this returns EVERY pair with
       // J >= 0.7; the oracle re-verifies Jaccard over the materialized
       // candidate set exactly as for q41
+      // strategy = "count": the bench documents table is a DENSE-vocabulary
+      // corpus (30k distinct shingles, median df 17 — nothing is rare), the
+      // regime where the posting count-join beats prefix+verify ~6x; both
+      // strategies return identical rows (spec-checked) and the all-pairs
+      // oracle is strategy-independent
       val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.ngramNearDups(withPlantedTextDups(base), "doc_id", "text",
-        threshold = 0.7)
+        threshold = 0.7, strategy = "count")
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
     "q42_dedup_simhash" -> ((s, dir) => {
@@ -610,11 +615,6 @@ object SparkEntry {
     "docs_planted" -> ((s, dir) => plantedDocs(s, dir)),
     "minhash_cands" -> ((s, dir) =>
       Dedup.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")),
-    "ngram_cands" -> ((s, dir) =>
-      // params MUST mirror q57_dedup_ngram_jaccard exactly — the oracle
-      // re-verifies Jaccard over this candidate set
-      Dedup.ngramCandidates(plantedDocs(s, dir), "doc_id", "text",
-        threshold = 0.7)),
     "simhash_sigs" -> ((s, dir) =>
       Dedup.simhashSignatures(plantedDocs(s, dir), "doc_id", "text")),
     "simhash_cands" -> ((s, dir) =>
@@ -967,9 +967,9 @@ object SparkEntry {
          |  JOIN sh b ON c.id_b = b.doc_id) v
          |WHERE j >= 0.7""".stripMargin,
     // STRONGER than q41's oracle: the DuckDB side is the full ALL-PAIRS
-    // Jaccard join (feasible at oracle scale), so a prefix-filter false
-    // NEGATIVE — not just a bad verify — breaks the hash. ngram_cands is
-    // still materialized for plan inspection but the oracle doesn't need it.
+    // Jaccard join (feasible at oracle scale), so a candidate-generation
+    // false NEGATIVE — not just a bad verify — breaks the hash, for either
+    // physical strategy.
     "q57_dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(CASE WHEN len(words) >= 3
          |    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]

@@ -68,6 +68,33 @@ object HashCore {
     out
   }
 
+  /** Distinct word-k-gram shingles as STRINGS (first-occurrence order) —
+    * the typed twin of array_distinct(TextStats.shinglesCol(text, k)),
+    * differential-locked in HashCoreSpec. Exists because the Column form
+    * re-evaluates the whole shingling chain per EXPLODED row once
+    * projection collapse inlines it under a Generate (measured 13× slower
+    * building shingle postings at bench scale). */
+  def shingleStrings(text: String, k: Int): Array[String] = {
+    val words = text.trim.split("\\s+")
+    val set = new java.util.LinkedHashSet[String]()
+    if (words.length < k) set.add(words.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + k <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
   /** x mod P for P = 2^31 - 1 (Mersenne): two shift-add folds + one
     * conditional subtract instead of a 64-bit division. Identical to x % P
     * for any x in [0, 2^62) — property-locked against `%` in HashCoreSpec.

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class HashCoreSpec extends AnyFunSuite {
@@ -38,6 +39,24 @@ class HashCoreSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows(sparse = true) == rows(sparse = false))
     assert(rows(sparse = false).nonEmpty)
+  }
+
+  test("shingleStrings == array_distinct(shinglesCol) for random and edge texts") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val texts = Seq("", " ", "one", "one two", "a  b   c", "x y z x y z x y z") ++
+      Seq.fill(40)(Vector.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(5))).mkString(" "))
+    for (k <- Seq(2, 3, 5)) {
+      val fromCol = texts.toDF("text")
+        .select(array_distinct(TextStats.shinglesCol(col("text"), k)).as("sh"))
+        .collect().map(_.getSeq[String](0).toVector)
+      val fromKernel = texts.map(t => HashCore.shingleStrings(t, k).toVector)
+      texts.indices.foreach { i =>
+        assert(fromKernel(i) == fromCol(i), s"k=$k text='${texts(i)}'")
+      }
+    }
   }
 
   test("signatures are deterministic and band keys stable") {

@@ -140,6 +140,12 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)).toSeq == expect.map(p => (p._1, p._2)).toSeq)
     assert(expect.nonEmpty)
     got.zip(expect).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-9) }
+    // the count-join physical strategy returns the identical logical result
+    val gotCount = Dedup.ngramNearDups(docs, "doc_id", "text", threshold = t,
+      strategy = "count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(gotCount.toSeq == got.toSeq)
   }
 
   test("ngram join at threshold 1.0 finds exactly the identical-shingle-set pairs") {
