@@ -166,15 +166,24 @@ object Blocker {
   private def startsWithAt(text: String, prefix: String, lo: Int, hi: Int): Boolean =
     hi - lo >= prefix.length && text.startsWith(prefix, lo)
 
-  /** Feature extraction + classification of one raw block — ONE fused pass
-    * per line (char counts + link-region detection interleaved, exactly
-    * linkCharsOf's leftmost-match semantics; the separator probe early-exits
-    * on the first non-=/− char); zero allocation for dropped blocks.
-    * Count/link equivalence vs the standalone scans is property-pinned in
-    * BlockerSpec. */
-  def classify(raw: RawBlock, ordinal: Int): ClassifiedBlock = {
-    val text = raw.text
-    val nLines = raw.lineBounds.length
+  /** Integer kind codes for the flat (allocation-free) block-tree API. */
+  val KindHeader = 0
+  val KindContent = 1
+  val KindProse = 2
+  val KindBoilerplate = 3
+  val KindSeparator = 4
+  def kindName(code: Int): String = code match {
+    case KindHeader => BlockKind.Header
+    case KindContent => BlockKind.Content
+    case KindProse => BlockKind.Prose
+    case KindBoilerplate => BlockKind.Boilerplate
+    case KindSeparator => BlockKind.Separator
+    case other => throw new IllegalArgumentException(s"bad kind code $other")
+  }
+
+  /** Reusable feature accumulator for the fused classify scan: one lives in
+    * each Scratch so the hot path carries no per-block counter objects. */
+  final class Features {
     var nChars = 0
     var alnum = 0
     var linkChars = 0
@@ -182,17 +191,44 @@ object Blocker {
     var payload = 0
     var allSeparator = true
     var hasHeader = false
-    var li = 0
-    while (li < nLines) {
-      val lb = raw.lineBounds(li)
+    def reset(): Unit = {
+      nChars = 0; alnum = 0; linkChars = 0; nonSpace = 0; payload = 0
+      allSeparator = true; hasHeader = false
+    }
+    /** The P4–P8 keep/drop decision over the accumulated features. */
+    def kindCode: Int =
+      if (allSeparator) KindSeparator
+      else if (hasHeader) KindHeader
+      else {
+        val textDensity = if (nChars == 0) 0.0 else alnum.toDouble / nChars
+        val linkDensity = if (nChars == 0) 0.0 else linkChars.toDouble / nChars
+        if (nChars < MinChars || textDensity < TextDensityMin || linkDensity > LinkDensityMax)
+          KindBoilerplate
+        else if (nonSpace > 0 && payload.toDouble / nonSpace >= PayloadRatioMin)
+          KindContent
+        else KindProse
+      }
+  }
+
+  /** The fused feature scan of one block — ONE pass per line (char counts +
+    * link-region detection interleaved, exactly linkCharsOf's leftmost-match
+    * semantics; the separator probe early-exits on the first non-=/− char).
+    * Shared by the object and flat classify paths; count/link equivalence vs
+    * the standalone scans is property-pinned in BlockerSpec. */
+  private def scanInto(f: Features, text: String, lines: Array[Long],
+      lineLo: Int, lineHi: Int): Unit = {
+    f.reset()
+    var li = lineLo
+    while (li < lineHi) {
+      val lb = lines(li)
       val ls = lineStart(lb)
       val le = lineEnd(lb)
-      nChars += le - ls
+      f.nChars += le - ls
       var i = ls
       while (i < le) {
         val c = text.charAt(i)
-        if (Character.isLetterOrDigit(c)) alnum += 1
-        if (c != ' ') { nonSpace += 1; if (isPayloadChar(c)) payload += 1 }
+        if (Character.isLetterOrDigit(c)) f.alnum += 1
+        if (c != ' ') { f.nonSpace += 1; if (isPayloadChar(c)) f.payload += 1 }
         // link-region detection fused in: same leftmost-match rules as
         // linkCharsOf, but chars inside a link still count above, so the
         // inner consume loops repeat the counting
@@ -200,12 +236,12 @@ object Blocker {
           var j = i + 1
           while (j < le && text.charAt(j) != '>') j += 1
           if (j < le) { // a closed tag: consume it, counting its chars
-            linkChars += j - i + 1
+            f.linkChars += j - i + 1
             i += 1 // '<' already counted above
             while (i <= j) {
               val lc = text.charAt(i)
-              if (Character.isLetterOrDigit(lc)) alnum += 1
-              if (lc != ' ') { nonSpace += 1; if (isPayloadChar(lc)) payload += 1 }
+              if (Character.isLetterOrDigit(lc)) f.alnum += 1
+              if (lc != ' ') { f.nonSpace += 1; if (isPayloadChar(lc)) f.payload += 1 }
               i += 1
             }
           } else i += 1
@@ -214,80 +250,95 @@ object Blocker {
           var j = i + 1 // 'h' already counted above
           while (j < le && !isJavaRegexSpace(text.charAt(j)) && text.charAt(j) != '<') {
             val lc = text.charAt(j)
-            if (Character.isLetterOrDigit(lc)) alnum += 1
-            if (lc != ' ') { nonSpace += 1; if (isPayloadChar(lc)) payload += 1 }
+            if (Character.isLetterOrDigit(lc)) f.alnum += 1
+            if (lc != ' ') { f.nonSpace += 1; if (isPayloadChar(lc)) f.payload += 1 }
             j += 1
           }
-          linkChars += j - i
+          f.linkChars += j - i
           i = j
         } else i += 1
       }
-      if (allSeparator && !isSeparatorRange(text, ls, le)) allSeparator = false
-      if (!hasHeader && startsWithAt(text, HeaderMarker, ls, le)) hasHeader = true
+      if (f.allSeparator && !isSeparatorRange(text, ls, le)) f.allSeparator = false
+      if (!f.hasHeader && startsWithAt(text, HeaderMarker, ls, le)) f.hasHeader = true
       li += 1
     }
+  }
 
-    val kind =
-      if (allSeparator) BlockKind.Separator
-      else if (hasHeader) BlockKind.Header
-      else {
-        // density math inline — no throwaway Block allocation on this path
-        val textDensity = if (nChars == 0) 0.0 else alnum.toDouble / nChars
-        val linkDensity = if (nChars == 0) 0.0 else linkChars.toDouble / nChars
-        if (nChars < MinChars || textDensity < TextDensityMin || linkDensity > LinkDensityMax)
-          BlockKind.Boilerplate
-        else if (nonSpace > 0 && payload.toDouble / nonSpace >= PayloadRatioMin)
-          BlockKind.Content
-        else BlockKind.Prose
-      }
-    ClassifiedBlock(Block(ordinal, kind, raw.span, nLines, nChars, alnum, linkChars), raw)
+  /** Feature extraction + classification of one raw block (object form —
+    * tests and non-hot callers; the hot path is blockTreeInto). */
+  def classify(raw: RawBlock, ordinal: Int): ClassifiedBlock = {
+    val f = new Features
+    scanInto(f, raw.text, raw.lineBounds, 0, raw.lineBounds.length)
+    ClassifiedBlock(
+      Block(ordinal, kindName(f.kindCode), raw.span, raw.lineBounds.length,
+        f.nChars, f.alnum, f.linkChars), raw)
   }
 
   /** Full turn → classified block tree. */
   def blockTree(text: String): Vector[ClassifiedBlock] =
     blockTree(text, new Tokenizer.Scratch)
 
-  /** Scratch form for hot partition loops. Split and classify are FUSED:
-    * each block is classified at flush time, so the intermediate
-    * Vector[RawBlock] of the two-phase form never materializes (the
-    * two-phase `splitBlocks` remains for tests and non-hot callers —
-    * differential-checked in BlockerSpec). */
-  def blockTree(text: String, scratch: Tokenizer.Scratch): Vector[ClassifiedBlock] = {
-    val out = new scala.collection.immutable.VectorBuilder[ClassifiedBlock]
-    var nLines = 0
+  /** FLAT block tree — the hot-path form: splits + classifies the turn into
+    * the scratch's parallel block arrays (kind code, span, [lineLo, lineHi)
+    * range into `scratch.lineAll`) and returns the block count. ZERO
+    * allocation per call once the scratch is warm: the object form costs
+    * ~5 allocations per block (RawBlock, Span, copied line array, Block,
+    * ClassifiedBlock) — at 10^12 turns that allocation rate is the scaling
+    * bottleneck (BENCH/BASELINE.md §3). Split and classify are fused: each
+    * block is classified at flush time. Block ordinal == array index. */
+  def blockTreeInto(text: String, scratch: Tokenizer.Scratch): Int = {
+    var nBlocks = 0
+    var nLinesAll = 0
+    var lineLo = 0
     var curStart = -1
     var curEnd = -1
-    var ordinal = 0
     val n = text.length
     var lo = 0
+    def flush(): Unit = {
+      if (nLinesAll > lineLo) {
+        scanInto(scratch.feat, text, scratch.lineAll, lineLo, nLinesAll)
+        scratch.ensureBlocks(nBlocks + 1)
+        scratch.bKind(nBlocks) = scratch.feat.kindCode
+        scratch.bStart(nBlocks) = curStart
+        scratch.bEnd(nBlocks) = curEnd
+        scratch.bLineLo(nBlocks) = lineLo
+        scratch.bLineHi(nBlocks) = nLinesAll
+        nBlocks += 1
+        lineLo = nLinesAll
+      }
+      curStart = -1; curEnd = -1
+    }
     while (lo <= n) {
       val nl = text.indexOf('\n', lo)
       val end = if (nl < 0) n else nl
-      val blank = isBlankLine(text, lo, end)
-      if (blank) {
-        if (nLines > 0) {
-          out += classify(RawBlock(text, Span(curStart, curEnd),
-            java.util.Arrays.copyOf(scratch.lineBuf, nLines)), ordinal)
-          ordinal += 1
-          nLines = 0
-        }
-        curStart = -1; curEnd = -1
-      } else {
+      if (isBlankLine(text, lo, end)) flush()
+      else {
         if (curStart < 0) curStart = lo
         curEnd = end
-        scratch.ensureLines(nLines + 1)
-        scratch.lineBuf(nLines) = packLine(lo, end)
-        nLines += 1
+        scratch.ensureLineAll(nLinesAll + 1)
+        scratch.lineAll(nLinesAll) = packLine(lo, end)
+        nLinesAll += 1
       }
-      if (nl < 0) {
-        if (nLines > 0) {
-          out += classify(RawBlock(text, Span(curStart, curEnd),
-            java.util.Arrays.copyOf(scratch.lineBuf, nLines)), ordinal)
-          ordinal += 1
-          nLines = 0
-        }
-        lo = n + 1
-      } else lo = nl + 1
+      if (nl < 0) { flush(); lo = n + 1 }
+      else lo = nl + 1
+    }
+    nBlocks
+  }
+
+  /** Scratch form (object API): built ON TOP of the flat form so the split
+    * loop exists once — materializes the same ClassifiedBlock tree the
+    * pre-flat implementation produced (differential-checked in BlockerSpec
+    * and by the golden extraction fixture). */
+  def blockTree(text: String, scratch: Tokenizer.Scratch): Vector[ClassifiedBlock] = {
+    val nBlocks = blockTreeInto(text, scratch)
+    val out = new scala.collection.immutable.VectorBuilder[ClassifiedBlock]
+    var bi = 0
+    while (bi < nBlocks) {
+      out += classify(
+        RawBlock(text, Span(scratch.bStart(bi), scratch.bEnd(bi)),
+          java.util.Arrays.copyOfRange(scratch.lineAll,
+            scratch.bLineLo(bi), scratch.bLineHi(bi))), bi)
+      bi += 1
     }
     out.result()
   }
@@ -295,17 +346,28 @@ object Blocker {
   /** The register string of a header block: the marker line minus the marker,
     * with any continuation lines appended (newlines fold to spaces downstream,
     * annuary_register_parser.py:31). */
-  def headerText(cb: ClassifiedBlock): String = {
-    val text = cb.raw.text
-    val bounds = cb.raw.lineBounds
-    val idx = bounds.indexWhere(lb =>
-      startsWithAt(text, HeaderMarker, lineStart(lb), lineEnd(lb)))
-    val marked = text.substring(
-      lineStart(bounds(idx)) + HeaderMarker.length, lineEnd(bounds(idx)))
-    val rest = bounds.drop(idx + 1).iterator
-      .filterNot(lb => isSeparatorRange(text, lineStart(lb), lineEnd(lb)))
-      .map(lb => text.substring(lineStart(lb), lineEnd(lb)))
-      .toVector
-    (marked +: rest).mkString("\n")
+  def headerText(cb: ClassifiedBlock): String =
+    headerTextFlat(cb.raw.text, cb.raw.lineBounds, 0, cb.raw.lineBounds.length)
+
+  /** Flat form over a line range: one output string, no per-line substrings
+    * or intermediate vectors. Semantics identical to the object form (which
+    * now delegates here): marker line minus the marker, then every
+    * non-separator continuation line, '\n'-joined. */
+  def headerTextFlat(text: String, lines: Array[Long], lineLo: Int,
+      lineHi: Int): String = {
+    var idx = lineLo
+    while (idx < lineHi && !startsWithAt(text, HeaderMarker,
+        lineStart(lines(idx)), lineEnd(lines(idx)))) idx += 1
+    val sb = new java.lang.StringBuilder
+    sb.append(text, lineStart(lines(idx)) + HeaderMarker.length,
+      lineEnd(lines(idx)))
+    var i = idx + 1
+    while (i < lineHi) {
+      val lb = lines(i)
+      if (!isSeparatorRange(text, lineStart(lb), lineEnd(lb)))
+        sb.append('\n').append(text, lineStart(lb), lineEnd(lb))
+      i += 1
+    }
+    sb.toString
   }
 }

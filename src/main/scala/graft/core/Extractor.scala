@@ -28,8 +28,10 @@ object Extractor {
     // canonicalize first (the deskew/binarize analog): all downstream span
     // offsets are coordinates in the canonical text
     val text = Normalizer.canonicalize(text0)
-    val turn = Turn(convId, turnIdx, null, text, null, null)
-    val blocks = Blocker.blockTree(turn.text, scratch)
+    // flat block tree: kinds/spans/line-ranges live in scratch parallel
+    // arrays (block ordinal == index) — no per-block objects on this path
+    val nBlocks = Blocker.blockTreeInto(text, scratch)
+    val lineAll = scratch.lineAll
 
     // builders are LAZY: most turns have no entities and no errors, and
     // prose-only turns have no modules — four eager builders per turn were
@@ -48,13 +50,14 @@ object Extractor {
     // index loops, not foreach: closures over the mutable locals above would
     // lift every var into a heap Ref and allocate a closure per turn
     var bi = 0
-    while (bi < blocks.length) {
-      val cb = blocks(bi)
-      val b = cb.block
-      b.kind match {
-        case BlockKind.Header =>
+    while (bi < nBlocks) {
+      val bKind = scratch.bKind(bi)
+      val bLineLo = scratch.bLineLo(bi)
+      val bLineHi = scratch.bLineHi(bi)
+      bKind match {
+        case Blocker.KindHeader =>
           blocksKept += 1
-          val headerStr = Blocker.headerText(cb)
+          val headerStr = Blocker.headerTextFlat(text, lineAll, bLineLo, bLineHi)
           EntityParser.parse(headerStr) match {
             case Right(reg) =>
               if (entities == null)
@@ -64,7 +67,7 @@ object Extractor {
               if (errors == null)
                 errors = new scala.collection.immutable.VectorBuilder[ExtractionError]
               errors += ExtractionError(
-                turn.conv_id, turn.turn_idx, b.ordinal, -1, -1,
+                convId, turnIdx, bi, -1, -1,
                 f.code, -1, f.detail, headerStr)
               // M10 salvage (diary_ocr.py:174-189): a garbled header that
               // still yields a numeric id resolving against the known entity
@@ -85,14 +88,12 @@ object Extractor {
               }
           }
 
-        case BlockKind.Content =>
+        case Blocker.KindContent =>
           blocksKept += 1
           var rowOrdinal = 0
-          val text = turn.text
-          val lineBounds = cb.raw.lineBounds
-          var li = 0
-          while (li < lineBounds.length) {
-            val lb = lineBounds(li)
+          var li = bLineLo
+          while (li < bLineHi) {
+            val lb = lineAll(li)
             val ls = Blocker.lineStart(lb)
             val le = Blocker.lineEnd(lb)
             var payloadChars = 0
@@ -110,7 +111,7 @@ object Extractor {
                 if (errors == null)
                   errors = new scala.collection.immutable.VectorBuilder[ExtractionError]
                 errors += ExtractionError(
-                  turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal, -1,
+                  convId, turnIdx, bi, rowOrdinal, -1,
                   ErrorCode.ModulesNumberExceeded, -1, numModules.toString,
                   text.substring(ls, le))
               } else {
@@ -124,7 +125,7 @@ object Extractor {
                     if (modules == null) modules =
                       new scala.collection.immutable.VectorBuilder[ExtractedModule]
                     modules += ExtractedModule(
-                      turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
+                      convId, turnIdx, bi, rowOrdinal,
                       m, scratch.parse.moduleType,
                       scala.collection.immutable.ArraySeq.unsafeWrapArray(
                         scratch.parse.zones), str,
@@ -133,7 +134,7 @@ object Extractor {
                     if (errors == null)
                       errors = new scala.collection.immutable.VectorBuilder[ExtractionError]
                     errors += ExtractionError(
-                      turn.conv_id, turn.turn_idx, b.ordinal, rowOrdinal,
+                      convId, turnIdx, bi, rowOrdinal,
                       m, scratch.parse.errCode, scratch.parse.errCatalog,
                       scratch.parse.errZone, str)
                   }
@@ -145,26 +146,28 @@ object Extractor {
             li += 1
           }
 
-        case BlockKind.Prose =>
+        case Blocker.KindProse =>
           blocksKept += 1
           // block lines are contiguous (single '\n' separators), so the raw
           // span slice equals the lines joined by '\n'
+          val spanStart = scratch.bStart(bi)
+          val spanEnd = scratch.bEnd(bi)
           if (proseBuf == null) {
             // exact-size buffer: sum the remaining prose spans once so the
             // builder never grows (prose dominates transcript bytes; a
             // growth doubling re-copies all of it)
             var cap = 0
             var pj = bi
-            while (pj < blocks.length) {
-              val pb = blocks(pj).block
-              if (pb.kind == BlockKind.Prose) cap += pb.span.length + 2
+            while (pj < nBlocks) {
+              if (scratch.bKind(pj) == Blocker.KindProse)
+                cap += math.max(0, scratch.bEnd(pj) - scratch.bStart(pj)) + 2
               pj += 1
             }
             proseBuf = new java.lang.StringBuilder(math.max(cap - 2, 0))
             proseSpans = new scala.collection.immutable.VectorBuilder[Span]
           } else proseBuf.append("\n\n")
-          proseBuf.append(turn.text, b.span.start, b.span.end)
-          proseSpans += b.span
+          proseBuf.append(text, spanStart, spanEnd)
+          proseSpans += Span(spanStart, spanEnd)
 
         case _ => // separator / boilerplate: dropped
       }
@@ -172,17 +175,17 @@ object Extractor {
     }
 
     val clean = CleanTurn(
-      turn.conv_id, turn.turn_idx,
+      convId, turnIdx,
       if (proseBuf == null) "" else proseBuf.toString,
       if (proseSpans == null) Vector.empty else proseSpans.result(),
-      n_blocks_total = blocks.length, n_blocks_kept = blocksKept)
+      n_blocks_total = nBlocks, n_blocks_kept = blocksKept)
 
     TurnExtraction(
       if (modules == null) Vector.empty else modules.result(),
       if (entities == null) Vector.empty else entities.result(),
       if (errors == null) Vector.empty else errors.result(),
       clean,
-      blocksTotal = blocks.length, blocksKept = blocksKept,
+      blocksTotal = nBlocks, blocksKept = blocksKept,
       rowsTokenized = rowsTokenized)
   }
 }

@@ -107,6 +107,32 @@ object Tokenizer {
     def ensureLines(n: Int): Unit =
       if (lineBuf.length < n)
         lineBuf = java.util.Arrays.copyOf(lineBuf, math.max(n, lineBuf.length * 2))
+
+    // ---- flat block-tree buffers (Blocker.blockTreeInto) ------------------
+    // Parallel per-block arrays + one shared line array for ALL blocks of the
+    // turn: the object block tree costs ~5 allocations per block (RawBlock,
+    // Span, copied line array, Block, ClassifiedBlock); the flat form costs
+    // zero per turn once the buffers are warm.
+    var bKind: Array[Int] = new Array[Int](16)
+    var bStart: Array[Int] = new Array[Int](16)
+    var bEnd: Array[Int] = new Array[Int](16)
+    var bLineLo: Array[Int] = new Array[Int](16)
+    var bLineHi: Array[Int] = new Array[Int](16)
+    var lineAll: Array[Long] = new Array[Long](64)
+    /** Reusable feature accumulator for the flat classifier. */
+    val feat = new Blocker.Features
+    def ensureBlocks(n: Int): Unit =
+      if (bKind.length < n) {
+        val cap = math.max(n, bKind.length * 2)
+        bKind = java.util.Arrays.copyOf(bKind, cap)
+        bStart = java.util.Arrays.copyOf(bStart, cap)
+        bEnd = java.util.Arrays.copyOf(bEnd, cap)
+        bLineLo = java.util.Arrays.copyOf(bLineLo, cap)
+        bLineHi = java.util.Arrays.copyOf(bLineHi, cap)
+      }
+    def ensureLineAll(n: Int): Unit =
+      if (lineAll.length < n)
+        lineAll = java.util.Arrays.copyOf(lineAll, math.max(n, lineAll.length * 2))
   }
 
   /** Low-level fill: tokenize text[lo, hi) into the scratch buffers (gap

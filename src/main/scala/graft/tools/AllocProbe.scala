@@ -33,7 +33,10 @@ object AllocProbe {
     measure("extract (shared scratch)") {
       turns.foreach(t => Extractor.extract(t.conv_id, t.turn_idx, t.text, ctx, scratch))
     }
-    measure("blockTree only") {
+    measure("blockTreeInto (flat, hot path)") {
+      turns.foreach(t => Blocker.blockTreeInto(t.text, scratch))
+    }
+    measure("blockTree (object form)") {
       turns.foreach(t => Blocker.blockTree(t.text, scratch))
     }
     measure("splitBlocks only") {
