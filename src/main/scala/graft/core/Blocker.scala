@@ -358,6 +358,11 @@ object Blocker {
     var idx = lineLo
     while (idx < lineHi && !startsWithAt(text, HeaderMarker,
         lineStart(lines(idx)), lineEnd(lines(idx)))) idx += 1
+    // loud failure on a non-header range: without this, lines(lineHi) reads
+    // a packed bound belonging to the NEXT block and the garbled "header"
+    // parses into corrupt entities instead of crashing
+    require(idx < lineHi,
+      s"headerTextFlat: no '$HeaderMarker' marker line in [$lineLo, $lineHi)")
     val sb = new java.lang.StringBuilder
     sb.append(text, lineStart(lines(idx)) + HeaderMarker.length,
       lineEnd(lines(idx)))

@@ -30,14 +30,27 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** `left` as-of `right` on key/ts columns; returns every left column
-    * plus a nullable `asof` struct holding the matched right row. */
+    * plus a nullable `asof` struct holding the matched right row.
+    *
+    * NULL semantics follow SQL ASOF (the DuckDB oracle): a NULL key or
+    * NULL ts never matches — right rows with either are dropped up front
+    * (they could otherwise be carried as a bogus "earliest ever" match),
+    * left rows with either survive with a null `asof` struct. */
   def asofJoin(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String): DataFrame = {
+    val reserved = Seq("_k", "_t", "_tag", "_r", "_l")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains) ++
+      left.columns.filter(_ == "asof")
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")} and the " +
+        s"output column 'asof'; input carries ${clash.mkString(", ")}")
     val rPayload = struct(right.columns.map(col).toIndexedSeq: _*)
     val lPayload = struct(left.columns.map(col).toIndexedSeq: _*)
-    val r = right.select(
-      col(key).as("_k"), col(rightTs).as("_t"),
-      lit(0).as("_tag"), rPayload.as("_r"))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(key).as("_k"), col(rightTs).as("_t"),
+        lit(0).as("_tag"), rPayload.as("_r"))
     val rType = r.schema("_r").dataType
     val l = left.select(
       col(key).as("_k"), col(leftTs).as("_t"),

@@ -207,18 +207,36 @@ object Dedup {
     val ranked = postings.join(dfreq, Seq("shingle"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    // prefix length = sz - ceil(t*sz) + 1, with FpEps guarding the IEEE
+    // rounding cliff: fl(0.8)*5 lands an ulp ABOVE 4, so the naive
+    // floor((1-t)*sz)+1 form computes prefix 1 where the theorem needs 2
+    // and a J=0.8 pair is silently never generated (false negative). The
+    // epsilon only ever LENGTHENS the prefix — completeness is one-sided.
     val prefix = ranked
-      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(FpEps)) + 1)
       .select("shingle", "id", "sz")
     val a = prefix.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
-        least(col("sz_a"), col("sz_b")))
+      .filter(sizeCompatible(threshold))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Rounding guard for the integer-boundary filters: double products like
+    * fl(0.9)*10 exceed the exact integer by an ulp, which would falsely
+    * reject boundary pairs. Far larger than accumulated rounding error for
+    * any realistic shingle-set size, far smaller than 1/sz for sz < 10^7. */
+  private val FpEps = 1e-9
+
+  /** Size filter t*max <= min with the FpEps guard (one-sided: only ever
+    * ADMITS a boundary pair, never drops one the verify stage would keep —
+    * J >= t forces t*max(|a|,|b|) <= |a∩b| <= min(|a|,|b|)). */
+  private def sizeCompatible(threshold: Double): Column =
+    greatest(col("sz_a"), col("sz_b")) * threshold - lit(FpEps) <=
+      least(col("sz_a"), col("sz_b"))
 
   /** Exact n-gram Jaccard join, count-join strategy: self-join the FULL
     * posting lists on shingle, partial-aggregate |a∩b| per pair, and compute
@@ -247,8 +265,7 @@ object Dedup {
     val b = postings.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
-        least(col("sz_a"), col("sz_b")))
+      .filter(sizeCompatible(threshold))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",

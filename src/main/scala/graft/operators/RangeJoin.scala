@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor-division of a (possibly negative) integral column by w. */
-  private def idiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  /** Floor-division of a (possibly negative) integral column by w — exact
+    * 64-bit integer arithmetic: subtracting the (always non-negative) pmod
+    * first makes the integral divide's truncation equal floor, and no
+    * double ever enters, so timestamps beyond 2^53 (e.g. epoch NANOS at
+    * ~1.7e18) still bucket exactly. The `/` operator on long columns is
+    * DOUBLE division and silently collapses adjacent buckets out there. */
+  private def idiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftBridge.column(IntegralDivide(
+      GraftBridge.expression(c - pmod(c, lit(w))),
+      GraftBridge.expression(lit(w))))
+  }
 
   /** Inner point-in-interval join: rows = every (point, interval) pair of
     * equal `key` with `start <= pointTs < end` (half-open). Output carries

@@ -12,7 +12,6 @@ class AsOfSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(31)
     val lefts = Seq.fill(400)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong,
       rnd.nextInt(100000).toLong))
-      .map { case (k, t, id) => (k, t, id) }
     // unique right per (key, ts) — the documented precondition
     val rights = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
       .distinct.map { case (k, t) => (k, t, k * 100000 + t) }
@@ -45,6 +44,35 @@ class AsOfSpec extends AnyFunSuite {
     val out = AsOf.asofJoin(l, r, "k", "lts", "rts")
       .select(col("asof.rid")).collect()
     assert(out(0).getLong(0) == 77L)
+  }
+
+  test("SQL null semantics: null key/ts never matches; left nulls survive unmatched") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L), 1L), (None, Some(100L), 2L),
+      (Some(1L), None, 3L)).toDF("k", "lts", "lid")
+    val r = Seq((Some(1L), Some(50L), 10L), (Some(1L), None, 11L),
+      (None, Some(10L), 12L)).toDF("k", "rts", "rid")
+    val got = AsOf.asofJoin(l, r, "k", "lts", "rts")
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    // lid=1 matches the one valid right row; null-key (2) and null-ts (3)
+    // left rows survive unmatched; null-ts right row 11 is never carried
+    // as an "earliest ever" match, null-key right row 12 matches nothing
+    assert(got == Map(1L -> Some(10L), 2L -> None, 3L -> None))
+  }
+
+  test("reserved/output column names are rejected loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 1L)).toDF("k", "lts", "asof")
+    val r = Seq((1L, 1L, 1L)).toDF("k", "rts", "rid")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, r, "k", "lts", "rts")
+    }
+    val l2 = Seq((1L, 1L, 1L)).toDF("k", "lts", "_tag")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l2, r, "k", "lts", "rts")
+    }
   }
 
   test("per-key window only: no unpartitioned window in the plan") {

@@ -148,6 +148,30 @@ class DedupSpec extends AnyFunSuite {
     assert(gotCount.toSeq == got.toSeq)
   }
 
+  test("IEEE boundary thresholds: J == t pairs survive both strategies") {
+    // t=0.8, sizes (5,4), intersection 4 -> J = 4/5 = fl(0.8) exactly. The
+    // naive floor((1-t)*sz)+1 prefix length lands an ulp short (prefix 1,
+    // theorem needs 2) and silently dropped this pair.
+    val w = (1 to 12).map(i => s"w$i")
+    val docs8 = Seq((1L, w.take(7).mkString(" ")), (2L, w.slice(1, 7).mkString(" ")))
+      .toDF("doc_id", "text")
+    for (strategy <- Seq("prefix", "count")) {
+      val got = Dedup.ngramNearDups(docs8, "doc_id", "text", threshold = 0.8,
+        strategy = strategy).collect()
+      assert(got.length == 1 && got(0).getDouble(2) == 0.8, s"t=0.8 $strategy")
+    }
+    // t=0.9, sizes (10,9), intersection 9 -> J = 9/10 = fl(0.9) exactly.
+    // fl(0.9)*10 sits an ulp ABOVE 9, so the unguarded size filter
+    // t*max <= min falsely rejected the pair in BOTH strategies.
+    val docs9 = Seq((1L, w.mkString(" ")), (2L, w.drop(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    for (strategy <- Seq("prefix", "count")) {
+      val got = Dedup.ngramNearDups(docs9, "doc_id", "text", threshold = 0.9,
+        strategy = strategy).collect()
+      assert(got.length == 1 && got(0).getDouble(2) == 0.9, s"t=0.9 $strategy")
+    }
+  }
+
   test("ngram join at threshold 1.0 finds exactly the identical-shingle-set pairs") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"))
       .toDF("doc_id", "text")

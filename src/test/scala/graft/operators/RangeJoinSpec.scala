@@ -50,6 +50,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.length == 1)
   }
 
+  test("exact bucketing beyond 2^53: epoch-nanos timestamps still match") {
+    import spark.implicits._
+    // ~1.7e18 >> 2^53: double division would misplace buckets out here
+    val base = 1700000000000000123L
+    val p = Seq((1L, base, 1L), (1L, base + 999L, 2L)).toDF("k", "pts", "pid")
+    val i = Seq((1L, base - 5L, base + 1000L, 10L)).toDF("k", "ws", "we", "iid")
+    val got = RangeJoin.pointInInterval(p, "pts", i, "ws", "we", "k", 1000000000L)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
   test("plan is an equi-join: no cartesian / broadcast-nested-loop node") {
     import spark.implicits._
     val p = Seq((1L, 1L, 1L)).toDF("k", "pts", "pid")
