@@ -88,16 +88,19 @@ object AllocProbe {
     measure("header parse only") {
       headerStrs.foreach(EntityParser.parse)
     }
-    measure("prose assembly only") {
+    measure("prose assembly only (flat tree)") {
       turns.foreach { t =>
-        val blocks = Blocker.blockTree(t.text, scratch)
+        val nb = Blocker.blockTreeInto(t.text, scratch)
         var sb: java.lang.StringBuilder = null
-        blocks.foreach { cb =>
-          if (cb.block.kind == BlockKind.Prose) {
-            if (sb == null) sb = new java.lang.StringBuilder(cb.block.span.length)
+        var bi = 0
+        while (bi < nb) {
+          if (scratch.bKind(bi) == Blocker.KindProse) {
+            if (sb == null) sb = new java.lang.StringBuilder(
+              scratch.bEnd(bi) - scratch.bStart(bi))
             else sb.append("\n\n")
-            sb.append(t.text, cb.block.span.start, cb.block.span.end)
+            sb.append(t.text, scratch.bStart(bi), scratch.bEnd(bi))
           }
+          bi += 1
         }
         if (sb != null) sb.toString
       }
