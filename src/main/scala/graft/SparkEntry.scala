@@ -419,6 +419,42 @@ object SparkEntry {
         .select(col("doc_id"), col("fp"))
     }),
 
+    "q59_sequence_packing" -> ((s, dir) => {
+      // concat-and-slice sample packing: per-shard token-stream offsets and
+      // pack ids, reproducible from (doc_id, nShards, window) alone
+      val d = load(s, dir, "documents")
+      graft.operators.Curation.packSequences(
+        d.select(col("doc_id"), col("text")), "doc_id",
+        TextStats.tokenCount(col("text")), window = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("tok_start"), col("pack_id"), col("pack_pos"))
+    }),
+    "q60_redact_pii" -> ((s, dir) => {
+      // PII redaction over a corpus with deterministically planted
+      // emails/phones (every 7th doc) — patterns chosen for identical
+      // Java-regex / RE2 semantics so the oracle redacts bit-identically
+      val d = load(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      val cols = graft.operators.Curation.redactPii(col("text"))
+      planted.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+    "q61_repetition_stats" -> ((s, dir) => {
+      // Gopher-style repetition quality features: duplicate word / 2-gram /
+      // 3-gram fractions per document
+      val d = load(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(graft.operators.Curation.dupNgramFrac(col("text"), 1), 6)
+          .as("dup_word_frac"),
+        round(graft.operators.Curation.dupNgramFrac(col("text"), 2), 6)
+          .as("dup_2gram_frac"),
+        round(graft.operators.Curation.dupNgramFrac(col("text"), 3), 6)
+          .as("dup_3gram_frac"))
+    }),
+
     // ---- dedup family (q40 oracle-checked; LSH variants rows-only + specs) --
     "q40_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(load(s, dir, "documents"), "doc_id", "text")
@@ -950,6 +986,61 @@ object SparkEntry {
          |    ORDER BY turn_idx)) AS INTEGER) AS n_chars
          |FROM ${t("ext_clean")} WHERE length(clean_text) > 0
          |GROUP BY conv_id""".stripMargin,
+
+    "q59_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_start,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+        |      AS pack_pos
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |  CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(shard * 1099511627776 + tok_start // 512 AS BIGINT) AS pack_id,
+        |  CAST(pack_pos AS BIGINT) AS pack_pos
+        |FROM c""".stripMargin,
+    "q60_redact_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM p""".stripMargin,
+    "q61_repetition_stats" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |g AS (SELECT doc_id, words,
+        |    CASE WHEN len(words) >= 2
+        |      THEN [array_to_string(words[i:i+1], ' ')
+        |            for i in range(1, len(words))]
+        |      ELSE [array_to_string(words, ' ')] END AS g2,
+        |    CASE WHEN len(words) >= 3
+        |      THEN [array_to_string(words[i:i+2], ' ')
+        |            for i in range(1, len(words) - 1)]
+        |      ELSE [array_to_string(words, ' ')] END AS g3
+        |  FROM w)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+        |    AS dup_word_frac,
+        |  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+        |    AS dup_2gram_frac,
+        |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+        |    AS dup_3gram_frac
+        |FROM g""".stripMargin,
 
     // ---- near-dup verify stages over materialized candidate pairs ----------
     "q41_dedup_minhash" ->

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining data pipeline needs beyond
+  * dedup/sampling: sequence packing, repetition quality stats, PII
+  * redaction. All pure Column/window formulations — no UDFs, no typed
+  * kernels needed (nothing here explodes a projected array, the trap
+  * documented at Dedup.shinglePostings).
+  */
+object Curation {
+
+  // ---- sequence packing ---------------------------------------------------
+
+  /** Concat-and-slice sequence packing: the GPT-style batching layout where
+    * each shard's documents are conceptually concatenated in a stable order
+    * and the token stream is sliced into fixed `window`-token samples. A
+    * document's pack is the window containing its FIRST token — the
+    * deterministic, windowless-join formulation of sample packing (true
+    * close-when-full greedy packing is a sequential recurrence that no
+    * window function expresses; concat-and-slice is what production packers
+    * do anyway, splitting long documents across window boundaries at the
+    * token level downstream).
+    *
+    * Returns the input plus (shard, tok_start, pack_id, pack_pos):
+    * `tok_start` = the doc's offset in its shard's token stream, `pack_id`
+    * = floor(tok_start / window) (globally unique via shard * 2^40 packing),
+    * `pack_pos` = ordinal within the shard.
+    *
+    * Scale: ONE hash shuffle into `nShards` + a per-shard window (cumsum +
+    * row_number over the same partitioning — one sort). Shard count scales
+    * with the corpus so the per-shard sort stays bounded; there is never a
+    * global window. Packing is reproducible from (idCol, nShards, window)
+    * alone — any engine can recompute it, which is what the DuckDB oracle
+    * does. */
+  def packSequences(
+      docs: DataFrame, idCol: String, tokensCol: Column,
+      window: Long, nShards: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = pmod(col(idCol), lit(nShards.toLong)).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs
+      .withColumn("shard", shard)
+      .withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id",
+        col("shard") * lit(1L << 40) + floor(col("tok_start") / window).cast("long"))
+      .withColumn("pack_pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  // ---- repetition stats (Gopher-style quality filters) --------------------
+
+  /** Duplicate-n-gram fraction: 1 - |distinct n-grams| / |n-grams| — the
+    * repetition family of the Gopher quality filters (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, Table A1: repeated top-n-gram and
+    * duplicate-n-gram filters). n=1 degenerates to duplicate-word fraction.
+    * Pure Column (no explode — safe from the projected-array Generate
+    * trap); short docs (< n words) have one fallback shingle → fraction 0. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val arr = if (n == 1) TextStats.tokensCol(text) else TextStats.shinglesCol(text, n)
+    val total = size(arr)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double") / total)
+      .otherwise(0.0)
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Conservative-by-construction patterns chosen for identical semantics
+    * in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * quantifiers, and \b word boundaries only — no lookaround, no
+    * backreferences (RE2 has neither). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** Redact emails/phone-shaped tokens, reporting match counts: returns
+    * (redacted text, n_emails, n_phones) columns. Counting runs on the
+    * ORIGINAL text (order of redactions can't cannibalize matches). */
+  def redactPii(text: Column): Seq[(String, Column)] = {
+    val emails = size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+    val phones = size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+    val redacted = regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+    Seq(
+      "clean_text" -> redacted,
+      "n_emails" -> emails.cast("long"),
+      "n_phones" -> phones.cast("long"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("packSequences == driver-side concat-and-slice on a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val docs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val got = Curation.packSequences(df, "doc_id",
+      TextStats.tokenCount(col("text")), window = 64L, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "tok_start", "pack_id", "pack_pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+
+    val expect = docs.map { case (id, text) =>
+      (id, id % 4, text.split("\\s+").length.toLong)
+    }.groupBy(_._2).toSeq.flatMap { case (shard, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, _, n), pos) =>
+        val row = (id, shard, n, off, shard * (1L << 40) + off / 64, pos.toLong)
+        off += n
+        row
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+  }
+
+  test("packSequences invariants: dense per-shard positions, monotone offsets") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+    val rows = Curation.packSequences(df, "doc_id",
+      TextStats.tokenCount(col("text")), window = 7L, nShards = 3)
+      .select("shard", "tok_start", "pack_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(i => 3L * i))
+    }
+  }
+
+  test("dupNgramFrac hand cases") {
+    import spark.implicits._
+    def fracs(text: String): (Double, Double) = {
+      val r = Seq(text).toDF("text")
+        .select(Curation.dupNgramFrac(col("text"), 1).as("f1"),
+          Curation.dupNgramFrac(col("text"), 2).as("f2"))
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // "a a a b": words 4 / distinct 2 -> 0.5; 2-grams [a a, a a, a b] -> 1/3
+    val (f1, f2) = fracs("a a a b")
+    assert(math.abs(f1 - 0.5) < 1e-12)
+    assert(math.abs(f2 - 1.0 / 3) < 1e-12)
+    // all-distinct doc -> 0; short doc (fallback shingle) -> 0
+    assert(fracs("x y z") == ((0.0, 0.0)))
+    assert(fracs("x") == ((0.0, 0.0)))
+  }
+
+  test("redactPii replaces and counts emails/phones without cannibalizing") {
+    import spark.implicits._
+    val text = "mail a.b+c@ex-ample.org or x@y.io, call 555-123-4567 now 12-34"
+    val cols = Curation.redactPii(col("text"))
+    val r = Seq(text).toDF("text")
+      .select(cols.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(r.getString(0) ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE> now 12-34")
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L)
+  }
+}
