@@ -419,6 +419,26 @@ object SparkEntry {
         .select(col("doc_id"), col("fp"))
     }),
 
+    "q62_transcript_shape" -> ((s, dir) => {
+      // transcript-shape analytics over the full (conv_id, turn_idx, role,
+      // tool, ts) schema: tool mix, role-alternation violations (per-conv
+      // lag window — partitioned, never global), wall-clock span. Oracle
+      // recomputes over the materialized transcripts_raw table.
+      import org.apache.spark.sql.expressions.Window
+      val t = ExtractPipeline.transcripts(s, nConvsFor(dir),
+        s.sparkContext.defaultParallelism).toDF()
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      t.withColumn("prev_role", lag(col("role"), 1).over(w))
+        .groupBy(col("conv_id"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_turns"),
+          countDistinct(col("tool")).as("n_distinct_tools"),
+          sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+            .as("n_role_repeats"),
+          ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            / lit(1000000L)).cast("long").as("span_secs"))
+    }),
     "q59_sequence_packing" -> ((s, dir) => {
       // concat-and-slice sample packing: per-shard token-stream offsets and
       // pack ids, reproducible from (doc_id, nShards, window) alone
@@ -646,6 +666,10 @@ object SparkEntry {
       skipRuleOutcome(s, dir)._3.toSeq
         .sortBy(r => (r.module_ordinal, r.zone_catalog, r.zone_str)).toDF()
     }),
+    "transcripts_raw" -> ((s, dir) =>
+      ExtractPipeline.transcripts(s, nConvsFor(dir),
+        s.sparkContext.defaultParallelism).toDF()
+        .select("conv_id", "turn_idx", "role", "tool", "ts")),
     "dim_layout" -> ((s, _) => ExtractPipeline.layoutDim(s)),
     "dim_catalogs" -> ((s, _) => ExtractPipeline.catalogDim(s)),
     "docs_planted" -> ((s, dir) => plantedDocs(s, dir)),
@@ -987,6 +1011,19 @@ object SparkEntry {
          |FROM ${t("ext_clean")} WHERE length(clean_text) > 0
          |GROUP BY conv_id""".stripMargin,
 
+    "q62_transcript_shape" ->
+      s"""WITH l AS (SELECT conv_id, role, tool, ts,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      AS prev_role
+         |  FROM ${t("transcripts_raw")})
+         |SELECT conv_id, count(*) AS n_turns,
+         |  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tool_turns,
+         |  CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+         |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_role_repeats,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_secs
+         |FROM l GROUP BY conv_id""".stripMargin,
     "q59_sequence_packing" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
