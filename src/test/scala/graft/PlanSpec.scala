@@ -114,6 +114,18 @@ class PlanSpec extends AnyFunSuite {
     assert(q54.executedPlan.toString.contains("ObjectHashAggregate"))
   }
 
+  test("q59/q62 cost exactly ONE exchange: window partitioning is reused") {
+    // q59: cumsum + row_number share one per-shard sort; q62: the
+    // groupBy(conv_id) rides the lag window's hash partitioning. A second
+    // Exchange in either plan means the reuse regressed.
+    for (q <- Seq("q59_sequence_packing", "q62_transcript_shape")) {
+      val p = plan(q)
+      val exchanges = "(?m)^.*Exchange".r.findAllIn(p)
+        .filterNot(_.contains("Reused")).size
+      assert(exchanges == 1, s"$q has $exchanges exchanges:\n$p")
+    }
+  }
+
   test("dedup uses partial aggregation (map-side combine), not a window") {
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val turns = ExtractPipeline.transcripts(spark, 50L, 4)
