@@ -202,6 +202,34 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming point-in-interval join — the Structured Streaming twin of
+    * operators/RangeJoin. Here the batch operator's bucketing is
+    * UNNECESSARY: Spark's native stream-stream inner join expresses
+    * interval containment directly (equality key + event-time range
+    * predicate), and the two watermarks plus the `maxIntervalLen` bound on
+    * the range condition let the engine evict both join states — the state
+    * bound the batch form gets from bucket width, the streaming form gets
+    * from the watermark delta. Differential-checked against batch
+    * RangeJoin in StreamingExtractSpec.
+    *
+    * `maxIntervalLen` (e.g. "1 hour") must be >= every interval's
+    * end - start; intervals longer than it are silently truncated by the
+    * state-bound conjunct, so size it from the domain, not tightly. */
+  def intervalJoinStream(
+      points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      key: String, delay: String, maxIntervalLen: String): DataFrame = {
+    val p = points.withWatermark(pointTs, delay)
+    val i = intervals.withWatermark(startCol, delay)
+    p.join(i,
+      p(key) === i(key) &&
+        p(pointTs) >= i(startCol) &&
+        p(pointTs) < i(endCol) &&
+        p(pointTs) <= i(startCol) + expr(s"INTERVAL $maxIntervalLen"),
+      "inner")
+      .drop(i(key))
+  }
+
   /** Watermarked per-conversation tumbling-window metrics: modules extracted
     * per conversation per minute of event time, tolerating `lateness` of
     * out-of-order turns — the streaming form of the metrics table (X1). */

@@ -151,4 +151,58 @@ class StreamingExtractSpec extends AnyFunSuite {
       assert(totalTurns == turns.size)
     } finally q.stop()
   }
+
+  test("streaming interval join == batch RangeJoin on the same data") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(mins: Long) = new Timestamp(base + mins * 60000L)
+    val rnd = new scala.util.Random(58)
+    // random points + intervals (0..40 min long) across 4 keys
+    val pointsData = Seq.tabulate(120)(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(300).toLong), i.toLong))
+    val intervalsData = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(300).toLong
+      (rnd.nextInt(4).toLong, ts(s), ts(s + rnd.nextInt(40)), 1000L + i)
+    }
+
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val iStream = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val joined = StreamingExtract.intervalJoinStream(
+      pStream.toDF().toDF("k", "pts", "pid"), "pts",
+      iStream.toDF().toDF("k", "ws", "we", "iid"), "ws", "we", "k",
+      // generous watermark: the second micro-batch replays event-times from
+      // the whole range, and anything behind the watermark is dropped as
+      // late — the differential wants completeness, not eviction
+      delay = "30 days", maxIntervalLen = "1 hour")
+      .select("pid", "iid")
+    val q = joined.writeStream.format("memory").queryName("stream_ivj")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        // two micro-batches: late-arriving second halves on both sides
+        pStream.addData(pointsData.take(60))
+        iStream.addData(intervalsData.take(20))
+        q.processAllAvailable()
+        pStream.addData(pointsData.drop(60))
+        iStream.addData(intervalsData.drop(20))
+        q.processAllAvailable()
+        spark.table("stream_ivj").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+
+    val bp = pointsData.toDF("k", "pts", "pid")
+      .select(col("k"), unix_micros(col("pts")).as("ptsu"), col("pid"))
+    val bi = intervalsData.toDF("k", "ws", "we", "iid")
+      .select(col("k"), unix_micros(col("ws")).as("wsu"),
+        unix_micros(col("we")).as("weu"), col("iid"))
+    val batch = graft.operators.RangeJoin.pointInInterval(
+      bp, "ptsu", bi, "wsu", "weu", "k", bucketWidth = 40L * 60000000L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
