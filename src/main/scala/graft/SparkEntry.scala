@@ -421,23 +421,14 @@ object SparkEntry {
 
     "q62_transcript_shape" -> ((s, dir) => {
       // transcript-shape analytics over the full (conv_id, turn_idx, role,
-      // tool, ts) schema: tool mix, role-alternation violations (per-conv
-      // lag window — partitioned, never global), wall-clock span. Oracle
-      // recomputes over the materialized transcripts_raw table.
-      import org.apache.spark.sql.expressions.Window
-      val t = ExtractPipeline.transcripts(s, nConvsFor(dir),
-        s.sparkContext.defaultParallelism).toDF()
-      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-      t.withColumn("prev_role", lag(col("role"), 1).over(w))
-        .groupBy(col("conv_id"))
-        .agg(
-          count(lit(1)).as("n_turns"),
-          sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_turns"),
-          countDistinct(col("tool")).as("n_distinct_tools"),
-          sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
-            .as("n_role_repeats"),
-          ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-            / lit(1000000L)).cast("long").as("span_secs"))
+      // tool, ts) schema — see Curation.transcriptShape (per-conv windows,
+      // one exchange). Oracle recomputes over materialized transcripts_raw;
+      // the repeat/switch logic is additionally unit-tested on planted
+      // violations (CurationSpec) since the generated corpus's strict role
+      // cycle keeps n_role_repeats at zero.
+      graft.operators.Curation.transcriptShape(
+        ExtractPipeline.transcripts(s, nConvsFor(dir),
+          s.sparkContext.defaultParallelism).toDF())
     }),
     "q59_sequence_packing" -> ((s, dir) => {
       // concat-and-slice sample packing: per-shard token-stream offsets and
@@ -1014,7 +1005,10 @@ object SparkEntry {
     "q62_transcript_shape" ->
       s"""WITH l AS (SELECT conv_id, role, tool, ts,
          |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
-         |      AS prev_role
+         |      AS prev_role,
+         |    last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_tool
          |  FROM ${t("transcripts_raw")})
          |SELECT conv_id, count(*) AS n_turns,
          |  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
@@ -1022,6 +1016,9 @@ object SparkEntry {
          |  CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
          |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_role_repeats,
+         |  CAST(sum(CASE WHEN role = 'tool' AND prev_tool IS NOT NULL
+         |    AND tool <> prev_tool THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tool_switches,
          |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_secs
          |FROM l GROUP BY conv_id""".stripMargin,
     "q59_sequence_packing" ->
@@ -1046,17 +1043,22 @@ object SparkEntry {
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
         |      || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
         |    ELSE text END AS text
-        |  FROM documents)
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |      AS after_email,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails
+        |  FROM p)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  regexp_replace(after_email,
         |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS clean_text,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-        |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  n_emails,
+        |  CAST(len(regexp_extract_all(after_email,
         |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones
-        |FROM p""".stripMargin,
+        |FROM r""".stripMargin,
     "q61_repetition_stats" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS words FROM documents),

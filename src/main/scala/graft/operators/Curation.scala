@@ -40,8 +40,17 @@ object Curation {
       window: Long, nShards: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val reserved = Seq("shard", "n_tokens", "tok_start", "pack_id", "pack_pos")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"packSequences appends columns ${reserved.mkString(", ")}; " +
+        s"input already carries ${clash.mkString(", ")}")
     val shard = pmod(col(idCol), lit(nShards.toLong)).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // exact integer floor division (RangeJoin.idiv): `/` on longs is DOUBLE
+    // division — beyond 2^53 tokens it mis-rounds the pack index while the
+    // SQL oracle's integer `//` stays exact
+    val packInShard = RangeJoin.idiv(col("tok_start"), window)
     docs
       .withColumn("shard", shard)
       .withColumn("n_tokens", tokensCol.cast("long"))
@@ -49,8 +58,49 @@ object Curation {
         coalesce(sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("pack_id",
-        col("shard") * lit(1L << 40) + floor(col("tok_start") / window).cast("long"))
+        // the 2^40 shard-packing contract is ENFORCED, not assumed: a shard
+        // stream long enough to overflow its id space fails loudly per row
+        // instead of silently colliding with the next shard's packs
+        col("shard") * lit(1L << 40) +
+          when(packInShard >= lit(1L << 40),
+            raise_error(concat(lit("packSequences: shard token stream " +
+              "exceeds window * 2^40 tokens at tok_start="), col("tok_start")))
+              .cast("long"))
+          .otherwise(packInShard))
       .withColumn("pack_pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  // ---- transcript-shape analytics ----------------------------------------
+
+  /** Per-conversation transcript-shape profile over the full
+    * (conv_id, turn_idx, role, tool, ts) schema: turn/tool counts,
+    * role-alternation violations (turn repeating its predecessor's role),
+    * tool switches (tool turn using a different tool than the previous
+    * tool turn — `last(ignoreNulls)` reaches across interleaved non-tool
+    * turns), and wall-clock span. Both windows and the final groupBy share
+    * the conv_id hash partitioning: ONE exchange (PlanSpec-gated via q62).
+    * Factored out of the query so the repeat/switch logic is unit-testable
+    * on planted violations — the generated corpus's strict role cycle
+    * never repeats a role, which would leave the oracle check vacuous. */
+  def transcriptShape(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val prevTool = last(col("tool"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    turns
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_tool", prevTool)
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_turns"),
+        countDistinct(col("tool")).as("n_distinct_tools"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_role_repeats"),
+        sum(when(col("role") === "tool" && col("prev_tool").isNotNull &&
+          col("tool") =!= col("prev_tool"), 1L).otherwise(0L))
+          .as("n_tool_switches"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / lit(1000000L)).cast("long").as("span_secs"))
   }
 
   // ---- repetition stats (Gopher-style quality filters) --------------------
@@ -79,13 +129,17 @@ object Curation {
   val PhonePattern = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
 
   /** Redact emails/phone-shaped tokens, reporting match counts: returns
-    * (redacted text, n_emails, n_phones) columns. Counting runs on the
-    * ORIGINAL text (order of redactions can't cannibalize matches). */
+    * (redacted text, n_emails, n_phones) columns. Redaction is sequential
+    * (emails first, then phones over the email-redacted text), and each
+    * count is taken on the text that pattern actually ran against — so
+    * n_emails = emails in the input and n_phones = <PHONE> tokens in the
+    * OUTPUT, even in pathological adjacency cases where the email
+    * replacement creates or destroys a phone word boundary. */
   def redactPii(text: Column): Seq[(String, Column)] = {
     val emails = size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
-    val phones = size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
-    val redacted = regexp_replace(
-      regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val phones = size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0)))
+    val redacted = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
     Seq(
       "clean_text" -> redacted,
       "n_emails" -> emails.cast("long"),

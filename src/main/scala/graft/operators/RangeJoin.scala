@@ -34,7 +34,7 @@ object RangeJoin {
     * double ever enters, so timestamps beyond 2^53 (e.g. epoch NANOS at
     * ~1.7e18) still bucket exactly. The `/` operator on long columns is
     * DOUBLE division and silently collapses adjacent buckets out there. */
-  private def idiv(c: Column, w: Long): Column = {
+  private[operators] def idiv(c: Column, w: Long): Column = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     GraftBridge.column(IntegralDivide(

@@ -213,14 +213,26 @@ object StreamingExtract {
     * RangeJoin in StreamingExtractSpec.
     *
     * `maxIntervalLen` (e.g. "1 hour") must be >= every interval's
-    * end - start; intervals longer than it are silently truncated by the
-    * state-bound conjunct, so size it from the domain, not tightly. */
+    * end - start: unlike batch RangeJoin's bucketWidth (a pure performance
+    * knob), this bound is correctness-sensitive — the state-bound conjunct
+    * would silently truncate longer intervals — so an overlong interval
+    * row FAILS THE QUERY via raise_error instead of losing matches. */
   def intervalJoinStream(
       points: DataFrame, pointTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
       key: String, delay: String, maxIntervalLen: String): DataFrame = {
     val p = points.withWatermark(pointTs, delay)
-    val i = intervals.withWatermark(startCol, delay)
+    val maxLen = expr(s"INTERVAL $maxIntervalLen")
+    val i = intervals
+      .withColumn("_len_ok",
+        when(col(endCol) > col(startCol) + maxLen,
+          raise_error(concat(
+            lit(s"intervalJoinStream: interval longer than maxIntervalLen " +
+              s"($maxIntervalLen) at $startCol="), col(startCol).cast("string")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+      .filter(col("_len_ok")).drop("_len_ok")
+      .withWatermark(startCol, delay)
     p.join(i,
       p(key) === i(key) &&
         p(pointTs) >= i(startCol) &&

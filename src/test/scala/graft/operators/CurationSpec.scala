@@ -66,7 +66,7 @@ class CurationSpec extends AnyFunSuite {
     assert(fracs("x") == ((0.0, 0.0)))
   }
 
-  test("redactPii replaces and counts emails/phones without cannibalizing") {
+  test("redactPii replaces and counts emails/phones") {
     import spark.implicits._
     val text = "mail a.b+c@ex-ample.org or x@y.io, call 555-123-4567 now 12-34"
     val cols = Curation.redactPii(col("text"))
@@ -76,5 +76,48 @@ class CurationSpec extends AnyFunSuite {
       "mail <EMAIL> or <EMAIL>, call <PHONE> now 12-34")
     assert(r.getLong(1) == 2L)
     assert(r.getLong(2) == 1L)
+  }
+
+  test("redactPii counts stay consistent with the emitted text on adjacency edges") {
+    import spark.implicits._
+    // the email replacement CREATES the phone's word boundary ('>' vs 'o'):
+    // phone counting runs on the email-redacted text, so n_phones == number
+    // of <PHONE> tokens in clean_text even here
+    val cols = Curation.redactPii(col("text"))
+    val r = Seq("a@b.co555-123-4567").toDF("text")
+      .select(cols.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(r.getString(0) == "<EMAIL><PHONE>")
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1L)
+  }
+
+  test("transcriptShape counts planted role repeats and tool switches") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts0.getTime + i * 1000L)
+    val turns = Seq(
+      ("c1", 0, "user", null, t(0)),
+      ("c1", 1, "assistant", null, t(1)),
+      ("c1", 2, "tool", "search", t(2)),
+      ("c1", 3, "tool", "exec", t(3)), // role repeat + tool switch
+      ("c1", 4, "assistant", null, t(4)),
+      ("c1", 5, "tool", "exec", t(5)), // same tool across the gap: no switch
+      ("c1", 6, "tool", "search", t(6)), // role repeat + tool switch
+      ("c2", 0, "user", null, t(0))
+    ).toDF("conv_id", "turn_idx", "role", "tool", "ts")
+    val got = Curation.transcriptShape(turns).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got("c1") == ((7L, 4L, 2L, 2L, 2L, 6L)))
+    assert(got("c2") == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("packSequences rejects reserved output column collisions") {
+    import spark.implicits._
+    val df = Seq((1L, "a b", 0L)).toDF("doc_id", "text", "shard")
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(df, "doc_id",
+        TextStats.tokenCount(col("text")), window = 8L, nShards = 2)
+    }
   }
 }

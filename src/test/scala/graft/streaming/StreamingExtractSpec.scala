@@ -205,4 +205,29 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming interval join fails loudly on an overlong interval") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val iStream = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val joined = StreamingExtract.intervalJoinStream(
+      pStream.toDF().toDF("k", "pts", "pid"), "pts",
+      iStream.toDF().toDF("k", "ws", "we", "iid"), "ws", "we", "k",
+      delay = "30 days", maxIntervalLen = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("stream_ivj_bad")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // a 2-hour interval under a 1-hour bound: matches in its second hour
+      // would silently vanish — the guard turns that into a query failure
+      iStream.addData((1L, new Timestamp(base),
+        new Timestamp(base + 2L * 3600000L), 1L))
+      pStream.addData((1L, new Timestamp(base + 90L * 60000L), 1L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
 }
