@@ -359,6 +359,36 @@ object SparkEntry {
           col("asof.click_ts").as("click_ts"))
     }),
 
+    "q63_funnel_asof" -> ((s, dir) => {
+      // conversion funnel by CHAINED as-of joins: each purchase -> latest
+      // prior click -> latest view prior to that click. The second hop's
+      // left timestamp (c_ts) is null for click-less purchases; SQL null
+      // semantics carry them through unmatched — same as the nested
+      // DuckDB ASOF LEFT JOIN oracle.
+      val e = load(s, dir, "events")
+      def leg(kind: String, ts: String, id: String) =
+        e.filter(col("event_type") === kind)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as(id))
+          .select(col("user_id"), col("ts").as(ts), col(id))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val pc = graft.operators.AsOf.asofJoin(
+        purchases, leg("click", "c_ts", "click_id"),
+        key = "user_id", leftTs = "p_ts", rightTs = "c_ts")
+        .select(col("user_id"), col("purchase_id"),
+          col("asof.click_id").as("click_id"), col("asof.c_ts").as("c_ts"))
+      val pcv = graft.operators.AsOf.asofJoin(
+        pc, leg("view", "v_ts", "view_id"),
+        key = "user_id", leftTs = "c_ts", rightTs = "v_ts")
+        .select(col("user_id"), col("click_id"),
+          col("asof.view_id").as("view_id"))
+      pcv.groupBy(col("user_id")).agg(
+        count(lit(1)).as("purchases"),
+        sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("with_click"),
+        sum(when(col("view_id").isNotNull, 1L).otherwise(0L)).as("full_funnel"))
+    }),
     "q58_range_join" -> ((s, dir) => {
       // incident attribution: every non-error event falling in a 30-minute
       // window after any error of the same user, aggregated per window.
@@ -837,6 +867,32 @@ object SparkEntry {
         |  c.click_id, c.click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts""".stripMargin,
+    "q63_funnel_asof" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |v AS (SELECT user_id, ts AS v_ts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |pc AS (SELECT p.user_id, p.purchase_id, c.click_id, c.c_ts
+        |       FROM p ASOF LEFT JOIN c
+        |         ON p.user_id = c.user_id AND p.p_ts >= c.c_ts),
+        |-- DuckDB's ASOF sorts a NULL probe ts as matchable (it pairs with
+        |-- the latest build row); SQL comparison semantics — and the Spark
+        |-- operator — never match on NULL, so null-ts rows bypass the ASOF
+        |pcv AS (SELECT pc.user_id, pc.purchase_id, pc.click_id, v.view_id
+        |        FROM (SELECT * FROM pc WHERE c_ts IS NOT NULL) pc
+        |        ASOF LEFT JOIN v
+        |          ON pc.user_id = v.user_id AND pc.c_ts >= v.v_ts
+        |        UNION ALL
+        |        SELECT user_id, purchase_id, click_id, NULL AS view_id
+        |        FROM pc WHERE c_ts IS NULL)
+        |SELECT user_id, count(*) AS purchases,
+        |  CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS with_click,
+        |  CAST(sum(CASE WHEN view_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS full_funnel
+        |FROM pcv GROUP BY user_id""".stripMargin,
     "q58_range_join" ->
       """SELECT e.error_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
