@@ -274,13 +274,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Statistics-based physical-strategy pick for the n-gram join — the
+    * engine-side analog of Spark's size-statistics join selection: instead
+    * of asking the caller to know their corpus's df regime, estimate it
+    * from a bounded deterministic sample (the IVF-fit hash-range pattern:
+    * same sample on every run, metadata-only count for parquet sources).
+    *
+    * Criterion: mean shingle document frequency in the sample,
+    * |postings| / |distinct shingles|. A Zipfian corpus's distinct count
+    * is dominated by its rare tail → mean df stays small (≲ 3) and prefix
+    * filtering has rare shingles to index; a dense small-vocabulary corpus
+    * (bench documents: mean df ≈ 17) has nothing rare and the count-join
+    * wins (measured ~6×). Sample-df underestimates global df, which only
+    * biases TOWARD "prefix" near the boundary — the safer side, since
+    * prefix degrades gradually while count-join explodes on Σdf². */
+  def ngramStrategyFor(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, sampleDocs: Int = 2048,
+      meanDfCutoff: Double = 3.0): String = {
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val total = base.count()
+    val modCol = pmod(hash(col("id")), lit(997))
+    val threshold =
+      if (total <= sampleDocs) 997L
+      else math.min(997L, (997.0 * 4 * sampleDocs / total).ceil.toLong.max(1L))
+    val sampled = base.filter(modCol < threshold)
+      .orderBy(modCol, col("id")).limit(sampleDocs)
+    val stats = shinglePostings(sampled, "id", "text", shingleK)
+      .agg(count(lit(1)).as("postings"),
+        countDistinct(col("shingle")).as("distinct_shingles"))
+      .collect()(0)
+    val postings = stats.getLong(0)
+    val distinct = stats.getLong(1)
+    if (distinct == 0L || postings.toDouble / distinct <= meanDfCutoff)
+      "prefix"
+    else "count"
+  }
+
+  /** n-gram near-dup join with the physical strategy chosen from sampled
+    * corpus statistics (ngramStrategyFor). */
+  def ngramNearDupsAuto(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleK: Int = 3): DataFrame =
+    ngramNearDups(docs, idCol, textCol, threshold, shingleK,
+      strategy = ngramStrategyFor(docs, idCol, textCol, shingleK))
+
   /** Exact n-gram Jaccard near-dup join — deterministic AND complete: every
     * pair with word-shingle Jaccard ≥ threshold is returned, none missed
     * (unlike minhashNearDups). Two physical strategies for the one logical
     * result: `"prefix"` (prefix-filtered candidates + array verify — the
     * Zipfian/web-corpus plan) and `"count"` (posting count-join — the
     * dense-vocabulary plan; see ngramNearDupsByCount for the regime
-    * analysis). Returns (id_a, id_b, jaccard), id_a < id_b. */
+    * analysis); `ngramNearDupsAuto` picks by sampled df statistics.
+    * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def ngramNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleK: Int = 3,

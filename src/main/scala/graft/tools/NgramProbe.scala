@@ -59,3 +59,17 @@ object NgramProbe {
     spark.stop()
   }
 }
+
+/** Quick check of the auto selector's pick per sf dir. */
+object NgramStrategyCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.session("32")
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.SparkEntry.withPlantedTextDups(
+        spark.read.parquet(dir + "/documents.parquet").select(col("doc_id"), col("text")))
+      println(s"[strategy] $dir -> ${graft.operators.Dedup.ngramStrategyFor(docs, "doc_id", "text")}")
+    }
+    spark.stop()
+  }
+}

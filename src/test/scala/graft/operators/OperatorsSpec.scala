@@ -172,6 +172,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramStrategyFor picks count on dense vocab, prefix on Zipfian-tailed") {
+    // dense: 4-word vocabulary -> at most 64 possible 3-gram shingles, so
+    // every shingle repeats across many docs (mean df >> 3, like the bench
+    // documents corpus at mean df ~17)
+    val denseWords = Vector("aa", "bb", "cc", "dd")
+    val dense = (0 until 40).map { i =>
+      val rng = new scala.util.Random(i)
+      (i.toLong, Vector.fill(60)(denseWords(rng.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.ngramStrategyFor(dense, "doc_id", "text") == "count")
+    // Zipfian-ish: each doc gets globally-unique words -> rare tail
+    // dominates the distinct count, mean df ~ 1
+    val unique = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.ngramStrategyFor(unique, "doc_id", "text") == "prefix")
+    // the auto form returns the same rows as the explicit default strategy
+    val base = planted(corpus(25))
+    val auto = Dedup.ngramNearDupsAuto(base, "doc_id", "text",
+      threshold = 0.6).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val explicit = Dedup.ngramNearDups(base, "doc_id", "text",
+      threshold = 0.6).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(auto == explicit)
+  }
+
   test("ngram join at threshold 1.0 finds exactly the identical-shingle-set pairs") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"))
       .toDF("doc_id", "text")
