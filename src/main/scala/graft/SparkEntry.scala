@@ -875,12 +875,16 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
         |v AS (SELECT user_id, ts AS v_ts, max(event_id) AS view_id
         |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |-- both hops bypass DuckDB's NULL-probe ASOF quirk (a NULL probe ts
+        |-- pairs with the LATEST build row; SQL comparisons never match
+        |-- NULL): null-ts probes skip the ASOF and carry a null match
         |pc AS (SELECT p.user_id, p.purchase_id, c.click_id, c.c_ts
-        |       FROM p ASOF LEFT JOIN c
-        |         ON p.user_id = c.user_id AND p.p_ts >= c.c_ts),
-        |-- DuckDB's ASOF sorts a NULL probe ts as matchable (it pairs with
-        |-- the latest build row); SQL comparison semantics — and the Spark
-        |-- operator — never match on NULL, so null-ts rows bypass the ASOF
+        |       FROM (SELECT * FROM p WHERE p_ts IS NOT NULL) p
+        |       ASOF LEFT JOIN c
+        |         ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+        |       UNION ALL
+        |       SELECT user_id, purchase_id, NULL AS click_id, NULL AS c_ts
+        |       FROM p WHERE p_ts IS NULL),
         |pcv AS (SELECT pc.user_id, pc.purchase_id, pc.click_id, v.view_id
         |        FROM (SELECT * FROM pc WHERE c_ts IS NOT NULL) pc
         |        ASOF LEFT JOIN v

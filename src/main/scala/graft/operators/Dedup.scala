@@ -294,18 +294,22 @@ object Dedup {
       meanDfCutoff: Double = 3.0): String = {
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val total = base.count()
-    val modCol = pmod(hash(col("id")), lit(997))
-    val threshold =
-      if (total <= sampleDocs) 997L
-      else math.min(997L, (997.0 * 4 * sampleDocs / total).ceil.toLong.max(1L))
-    val sampled = base.filter(modCol < threshold)
-      .orderBy(modCol, col("id")).limit(sampleDocs)
-    val stats = shinglePostings(sampled, "id", "text", shingleK)
-      .agg(count(lit(1)).as("postings"),
-        countDistinct(col("shingle")).as("distinct_shingles"))
-      .collect()(0)
-    val postings = stats.getLong(0)
-    val distinct = stats.getLong(1)
+    val plan = HashSample.plan(base, "id", sampleDocs, total)
+    // one aggregation pass carries the doc count so the undershoot check
+    // (HashSample scaladoc) costs no extra scan on the common path
+    def statsOf(sample: DataFrame): (Long, Long, Long) = {
+      val r = shinglePostings(sample, "id", "text", shingleK)
+        .agg(count(lit(1)).as("postings"),
+          countDistinct(col("shingle")).as("distinct_shingles"),
+          countDistinct(col("id")).as("docs"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var (postings, distinct, nDocs) = statsOf(plan.sampled)
+    if (plan.undershot(nDocs, sampleDocs, total)) {
+      val s = statsOf(plan.fallback)
+      postings = s._1; distinct = s._2
+    }
     if (distinct == 0L || postings.toDouble / distinct <= meanDfCutoff)
       "prefix"
     else "count"

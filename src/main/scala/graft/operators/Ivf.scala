@@ -45,17 +45,11 @@ object Ivf {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
     val total = base.count() // parquet sources: metadata-only count
-    val modCol = pmod(hash(col("id")), lit(997))
-    val threshold =
-      if (total <= sampleSize) 997L
-      else math.min(997L, (997.0 * 4 * sampleSize / total).ceil.toLong.max(1L))
-    var picked = base.filter(modCol < threshold)
-      .orderBy(modCol, col("id"))
-      .limit(sampleSize)
-      .collect()
-    if (picked.length < math.min(sampleSize.toLong, total) && threshold < 997L)
+    val plan = HashSample.plan(base, "id", sampleSize, total)
+    var picked = plan.sampled.collect()
+    if (plan.undershot(picked.length, sampleSize, total))
       // hash-range undershoot (vanishingly rare at 4× oversample): fall back
-      picked = base.orderBy(modCol, col("id")).limit(sampleSize).collect()
+      picked = plan.fallback.collect()
     val sample = picked.map(_.getSeq[Double](1).toArray)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
 

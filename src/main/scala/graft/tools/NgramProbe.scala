@@ -60,12 +60,15 @@ object NgramProbe {
   }
 }
 
-/** Quick check of the auto selector's pick per sf dir. */
+/** Quick check of the auto selector's pick per sf dir (dirs as args;
+  * SPARK_GRAFT_CPUS like the other probes). */
 object NgramStrategyCheck {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Bench.session("32")
+    val spark = graft.Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
       val docs = graft.SparkEntry.withPlantedTextDups(
         spark.read.parquet(dir + "/documents.parquet").select(col("doc_id"), col("text")))
       println(s"[strategy] $dir -> ${graft.operators.Dedup.ngramStrategyFor(docs, "doc_id", "text")}")

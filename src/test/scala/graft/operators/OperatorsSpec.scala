@@ -188,6 +188,21 @@ class DedupSpec extends AnyFunSuite {
       (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "))
     }.toDF("doc_id", "text")
     assert(Dedup.ngramStrategyFor(unique, "doc_id", "text") == "prefix")
+    // SUBSAMPLING branch (total > sampleDocs): the hash-range threshold +
+    // limit path must reach the same verdicts — a broken threshold or a
+    // shrunken sample deflates df toward 1 and silently flips to prefix
+    val denseBig = (0 until 1200).map { i =>
+      val rng = new scala.util.Random(i)
+      (i.toLong, Vector.fill(60)(denseWords(rng.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.ngramStrategyFor(denseBig, "doc_id", "text",
+      sampleDocs = 128) == "count")
+    val uniqueBig = (0 until 1200).map { i =>
+      (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.ngramStrategyFor(uniqueBig, "doc_id", "text",
+      sampleDocs = 128) == "prefix")
+
     // the auto form returns the same rows as the explicit default strategy
     val base = planted(corpus(25))
     val auto = Dedup.ngramNearDupsAuto(base, "doc_id", "text",
