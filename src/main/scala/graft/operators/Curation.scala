@@ -40,6 +40,11 @@ object Curation {
       window: Long, nShards: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // pack_id = shard * 2^40 + packInShard: the raise_error below guards the
+    // packInShard term, but shard * 2^40 itself overflows Long silently once
+    // nShards > 2^23 — reject that at the API boundary
+    require(nShards <= (1 << 23),
+      s"nShards must be <= 2^23 so shard * 2^40 fits in pack_id, got $nShards")
     val reserved = Seq("shard", "n_tokens", "tok_start", "pack_id", "pack_pos")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,

@@ -63,7 +63,11 @@ object TopK {
     }
 
     def insert(s: Double, i: Long): Unit =
-      if (size < k) {
+      // NaN never orders under worse(): admitted while size<k it could sit at
+      // the root and veto every later insertion. Skip it — a NaN score is
+      // "no score", never a top-k member.
+      if (s != s) ()
+      else if (size < k) {
         score(size) = s; id(size) = i; size += 1
         siftUp(size - 1)
       } else if (size > 0 && worse(score(0), id(0), s, i)) {

@@ -81,7 +81,12 @@ object ParquetManifestIO extends TableIO {
     val target = manifestPath(outDir, stat.bucket)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING: re-committing a bucket (redo after rollback, or a
+    // crash between data rewrite and manifest move) must overwrite the stale
+    // manifest — ATOMIC_MOVE alone leaves replace behavior
+    // implementation-specific and can wedge with FileAlreadyExistsException
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def rollback(outDir: String, bucket: Int): Unit =
@@ -99,9 +104,22 @@ object SnapshotLogIO extends TableIO {
 
   override def init(outDir: String): Unit = Files.createDirectories(metaDir(outDir))
 
+  /** Raised when a commit loses the version-file CAS to a concurrent
+    * committer. The caller refreshes (re-reads current state) and retries —
+    * Iceberg's CommitFailedException contract. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Version discovery mirrors HadoopTableOperations.findVersion: start at
+    * the hint, then probe forward while v(N+1).json exists. The snapshot-file
+    * rename is the commit point; the hint is only a hint. A crash between the
+    * vN.json move and the hint flip leaves an orphan vN.json — probing adopts
+    * it as committed instead of letting the next commit wedge on it. */
   private def currentVersion(outDir: String): Int = {
     val hint = hintPath(outDir)
-    if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+    var v = if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+    while (Files.exists(metaDir(outDir).resolve(s"v${v + 1}.json"))) v += 1
+    v
   }
 
   /** Committed state = the bucket list inside the current snapshot. */
@@ -115,24 +133,44 @@ object SnapshotLogIO extends TableIO {
     }
   }
 
-  private def writeSnapshot(outDir: String, stats: Seq[BucketStat]): Unit = {
-    val v = currentVersion(outDir) + 1
+  /** Publish `stats` as snapshot `v`. The EXCLUSIVE rename onto v$v.json is
+    * the compare-and-swap: if another committer already published that
+    * version, the move fails and we surface a loud [[CommitConflictException]]
+    * instead of silently clobbering the winner's snapshot. Package-private so
+    * the concurrent-commit contract spec can race two committers
+    * deterministically at the same version. */
+  private[pipeline] def publishAt(outDir: String, v: Int, stats: Seq[BucketStat]): Unit = {
     val body = stats.sortBy(_.bucket).map { s =>
       s"""{"bucket":${s.bucket},"turns":${s.turns},"modules":${s.modules},"errors":${s.errors}}"""
     }.mkString(s"""{"version":$v,"buckets":[""", ",", "]}")
     val target = metaDir(outDir).resolve(s"v$v.json")
-    val tmp = target.resolveSibling(s"v$v.json.tmp")
+    // tmp name carries a unique suffix: two racing committers must not
+    // overwrite each other's STAGED bytes either
+    val tmp = target.resolveSibling(
+      s"v$v.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.writeString(tmp, body)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    // flip the pointer last, atomically — the commit point
-    val hintTmp = hintPath(outDir).resolveSibling("version-hint.text.tmp")
+    // createLink, not ATOMIC_MOVE: POSIX rename(2) silently REPLACES an
+    // existing target, so a move is not a compare-and-swap. A hard link is
+    // atomic AND exclusive — exactly one of two racing committers creates
+    // v$v.json; the other gets FileAlreadyExistsException.
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(
+          s"snapshot v$v already committed by a concurrent writer; " +
+            "refresh and retry")
+    }
+    // flip the pointer last, atomically — a pure optimization for readers:
+    // the version-file rename above was the real commit point
+    val hintTmp = hintPath(outDir).resolveSibling(
+      s"version-hint.text.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.writeString(hintTmp, v.toString)
     Files.move(hintTmp, hintPath(outDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def currentStats(outDir: String): Seq[BucketStat] = {
-    val v = currentVersion(outDir)
+  private def statsAt(outDir: String, v: Int): Seq[BucketStat] = {
     if (v == 0) Seq.empty
     else {
       val body = Files.readString(metaDir(outDir).resolve(s"v$v.json"))
@@ -144,10 +182,25 @@ object SnapshotLogIO extends TableIO {
     }
   }
 
+  /** Read-modify-publish with bounded CAS retry: read version v, edit v's
+    * stats, publish at EXACTLY v+1 — one version read per attempt, so any
+    * concurrent commit between the read and the publish trips the CAS (a
+    * stale edit can never skip past a version it did not read). On conflict,
+    * refresh and re-attempt — the Iceberg commit-retry loop. Progress is
+    * guaranteed: each conflict means some OTHER committer advanced. */
+  private def retrying(outDir: String, attempts: Int = 64)(
+      edit: Seq[BucketStat] => Seq[BucketStat]): Unit = {
+    var left = attempts
+    while (left > 0) {
+      val v = currentVersion(outDir)
+      try { publishAt(outDir, v + 1, edit(statsAt(outDir, v))); return }
+      catch { case _: CommitConflictException if left > 1 => left -= 1 }
+    }
+  }
+
   override def commitBucket(outDir: String, stat: BucketStat): Unit =
-    writeSnapshot(outDir,
-      currentStats(outDir).filterNot(_.bucket == stat.bucket) :+ stat)
+    retrying(outDir)(cur => cur.filterNot(_.bucket == stat.bucket) :+ stat)
 
   override def rollback(outDir: String, bucket: Int): Unit =
-    writeSnapshot(outDir, currentStats(outDir).filterNot(_.bucket == bucket))
+    retrying(outDir)(cur => cur.filterNot(_.bucket == bucket))
 }

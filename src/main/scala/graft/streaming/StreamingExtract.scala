@@ -149,6 +149,19 @@ object StreamingExtract {
     val spark = turns.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // A quiet gap shorter than the watermark delay would let a group time out
+    // and emit while late turns inside `lateness` are still admissible — the
+    // same conversation would then re-open and emit a SECOND partial row.
+    // Enforce the invariant instead of documenting it.
+    val latenessMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+      require(iv.months == 0, s"lateness '$lateness' must be a day-time interval")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(quietGapMs >= latenessMs,
+      s"quietGapMs ($quietGapMs ms) must be >= watermark lateness '$lateness' " +
+        s"($latenessMs ms), or closed conversations can re-open and double-emit")
     val bc = spark.sparkContext.broadcast(ctx)
     val clean = turns
       .select(col("conv_id"), col("turn_idx"), col("text"), col("ts"))

@@ -120,4 +120,14 @@ class CurationSpec extends AnyFunSuite {
         TextStats.tokenCount(col("text")), window = 8L, nShards = 2)
     }
   }
+
+  test("packSequences rejects nShards > 2^23 (shard term would overflow pack_id)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequences(df, "doc_id",
+        TextStats.tokenCount(col("text")), window = 8L, nShards = (1 << 23) + 1)
+    }
+    assert(e.getMessage.contains("2^23"))
+  }
 }

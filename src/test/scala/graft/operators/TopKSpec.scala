@@ -58,4 +58,14 @@ class TopKSpec extends AnyFunSuite {
     val h2 = new TopK.State(7); h2rows.foreach { case (s, i) => h2.insert(s, i) }
     assert(h1.mergeFrom(h2).sorted == single.sorted)
   }
+
+  test("NaN scores are rejected: heap never admits or wedges on NaN") {
+    val st = new TopK.State(2)
+    st.insert(Double.NaN, 1L) // would occupy the root and veto all inserts
+    st.insert(0.3, 2L)
+    st.insert(Double.NaN, 3L)
+    st.insert(0.7, 4L)
+    st.insert(0.5, 5L) // evicts 0.3 — proves the heap still orders
+    assert(st.sorted == Seq(TopK.Hit(4, 0.7), TopK.Hit(5, 0.5)))
+  }
 }

@@ -134,6 +134,19 @@ class StreamingExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("conversationStream rejects quietGapMs < lateness (double-emit invariant)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Turn]
+    // gap 2 min < lateness 10 min: a closed conversation could re-open and
+    // emit a second partial row — must be refused up front
+    val e = intercept[IllegalArgumentException] {
+      StreamingExtract.conversationStream(stream.toDS(), ctx,
+        lateness = "10 minutes", quietGapMs = 2L * 60 * 1000)
+    }
+    assert(e.getMessage.contains("quietGapMs"))
+  }
+
   test("watermarked windowed metrics aggregate per conversation per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
