@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** As-of join — for every left row, the LATEST right row of the same key
   * with `right.ts <= left.ts` (inclusive) — an operator Spark lacks as a
@@ -22,10 +23,10 @@ import org.apache.spark.sql.functions._
   * semantics: left rows with no prior right row get a null match struct.
   *
   * At 100 TB: the shuffle is the same hash-on-key exchange a groupBy
-  * costs; a hot key concentrates ONE user's history in a task — bound it
-  * by windowing time into buckets (join within bucket, fix up boundaries
-  * with the previous bucket's final state), the GapAudit two-phase
-  * pattern. Not needed at the reference's key cardinalities.
+  * costs; a hot key concentrates ONE user's history in a task. That skew
+  * defense is no longer prose — [[asofJoinBucketed]] bounds every task by
+  * (key, time-bucket) via the GapAudit two-phase pattern: join within the
+  * bucket, fix boundaries with the previous bucket's closing state.
   */
 object AsOf {
 
@@ -64,6 +65,104 @@ object AsOf {
     all
       .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
+      .select(col("_l.*"), col("asof"))
+  }
+
+  /** Time-bucketed as-of join — identical contract and output to
+    * [[asofJoin]], but NO per-key window ever sees the raw row stream, so a
+    * mega-key (one user owning a measurable fraction of all events — the
+    * 100 TB skew case) is bounded by its densest (key, bucket) cell instead
+    * of its entire history in one task.
+    *
+    * Two phases (the GapAudit boundary-fixup pattern):
+    *  1. per (key, bucket): the bucket's CLOSING right payload
+    *     (`max_by(payload, ts)`), then a per-key running `last` over the
+    *     bucket SUMMARIES (≤ #buckets rows per key, never row-scaled) gives
+    *     each left bucket its carry-in state — the latest closing state of
+    *     any strictly earlier bucket;
+    *  2. the in-bucket as-of runs the [[asofJoin]] union-window partitioned
+    *     by (key, bucket); rows with no in-bucket match fall back to the
+    *     carry-in, joined on the same (key, bucket) hash partitioning the
+    *     window already established (no extra exchange for the big side).
+    *
+    * `bucketWidth` is in MICROSECONDS for timestamp `ts` columns, in the
+    * column's own units for integral `ts` columns. Bucketing uses exact
+    * integral division (RangeJoin.idiv) — `/` on longs is double division
+    * and mis-rounds beyond 2^53. Width tuning trades the number of bucket
+    * summaries (small width) against in-bucket task size (large width); any
+    * width is correct. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      bucketWidth: Long = 86400L * 1000000L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val reserved = Seq("_k", "_t", "_tag", "_r", "_l", "_b", "_vb", "_in", "_cin")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains) ++
+      left.columns.filter(_ == "asof")
+    require(clash.isEmpty,
+      s"asofJoinBucketed reserves column names ${reserved.mkString(", ")} and " +
+        s"the output column 'asof'; input carries ${clash.mkString(", ")}")
+
+    def bucketOf(c: Column, dt: DataType): Column = dt match {
+      case TimestampType | TimestampNTZType | DateType =>
+        RangeJoin.idiv(unix_micros(c.cast("timestamp")), bucketWidth)
+      case LongType | IntegerType | ShortType | ByteType =>
+        RangeJoin.idiv(c.cast("long"), bucketWidth)
+      case other => throw new IllegalArgumentException(
+        s"asofJoinBucketed needs a timestamp or integral ts column, got $other")
+    }
+
+    val rPayload = struct(right.columns.map(col).toIndexedSeq: _*)
+    val lPayload = struct(left.columns.map(col).toIndexedSeq: _*)
+    val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("_k"), col(rightTs).as("_t"),
+        lit(0).as("_tag"), rPayload.as("_r"))
+      .withColumn("_b", bucketOf(col("_t"), right.schema(rightTs).dataType))
+    val rType = r.schema("_r").dataType
+
+    // SQL ASOF null semantics: a left row with a null key or ts can never
+    // match — route it around both phases straight to a null `asof`
+    val lNull = left.filter(col(key).isNull || col(leftTs).isNull)
+      .select(lPayload.as("_l"))
+    val lOk = left.filter(col(key).isNotNull && col(leftTs).isNotNull)
+      .select(col(key).as("_k"), col(leftTs).as("_t"),
+        lit(1).as("_tag"), lit(null).cast(rType).as("_r"), lPayload.as("_l"))
+      .withColumn("_b", bucketOf(col("_t"), left.schema(leftTs).dataType))
+    val lType = lOk.schema("_l").dataType
+
+    // phase 1: closing state per (key, right-bucket), then carry-in per
+    // (key, left-bucket) = last closing state of any STRICTLY earlier
+    // bucket. A closing row becomes visible at bucket c+1 (sort tag 0 at
+    // equal visibility, so it is admitted); the window runs over bucket
+    // summaries only — per-key cardinality is #buckets, not #rows.
+    val closing = r.groupBy(col("_k"), col("_b"))
+      .agg(max_by(col("_r"), col("_t")).as("_cin"))
+    val leftBuckets = lOk.select(col("_k"), col("_b")).distinct()
+    val carrySrc = closing
+      .select(col("_k"), (col("_b") + 1).as("_vb"), lit(0).as("_tag"), col("_cin"))
+      .unionByName(leftBuckets.select(col("_k"), col("_b").as("_vb"),
+        lit(1).as("_tag"), lit(null).cast(rType).as("_cin")))
+    val wCarry = Window.partitionBy(col("_k")).orderBy(col("_vb"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = carrySrc
+      .withColumn("_cin", last(col("_cin"), ignoreNulls = true).over(wCarry))
+      .filter(col("_tag") === 1)
+      .select(col("_k"), col("_vb").as("_b"), col("_cin"))
+
+    // phase 2: the asofJoin union-window, partitioned by (key, bucket) —
+    // the raw row stream is never windowed per key alone
+    val all = r.withColumn("_l", lit(null).cast(lType)).unionByName(lOk)
+    val wIn = Window.partitionBy(col("_k"), col("_b"))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = all
+      .withColumn("_in", last(col("_r"), ignoreNulls = true).over(wIn))
+      .filter(col("_tag") === 1)
+    val matched = inBucket.join(carry, Seq("_k", "_b"), "left")
+      .select(col("_l"), coalesce(col("_in"), col("_cin")).as("asof"))
+
+    matched
+      .unionByName(lNull.withColumn("asof", lit(null).cast(rType)))
       .select(col("_l.*"), col("asof"))
   }
 }

@@ -400,17 +400,102 @@ object Dedup {
 
   // ---- near-dup clusters + corpus dedup ---------------------------------------
 
-  /** Connected components over a near-dup pair graph via iterative
-    * smallest-label propagation: every doc starts labeled with its own id;
-    * each round, a doc adopts the minimum label in its neighborhood. The
-    * minimum travels ONE HOP per round, so convergence is O(component
-    * diameter) — shallow for near-dup clusters, but NOT logarithmic; the
-    * loop therefore runs until a fixed point and THROWS if `maxRounds` is
-    * hit while labels are still changing (silent non-convergence would
-    * leave duplicate keepers). Each round is two shuffles (join + min-agg)
-    * on the PAIR set only — the full corpus is never re-shuffled.
+  /** Connected components over a near-dup pair graph in O(log n) rounds via
+    * alternating large-star / small-star edge rewriting (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). Each round:
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum of
+    *    its closed neighborhood — long chains fold toward their minimum in
+    *    parallel, which is what one-hop label propagation cannot do;
+    *  - small-star: every node points its smaller-or-equal neighbors (and
+    *    itself) at that minimum — flattening the partial trees into stars.
+    *
+    * At the fixed point the edge set IS the component assignment: every edge
+    * is (member, component-min). Adversarial template-drift chains (the
+    * web-corpus case that defeats diameter-bound propagation) converge in
+    * ~log₂(n) rounds instead of n; the loop still runs to a fixed point and
+    * THROWS if `maxRounds` is hit (silent non-convergence would leave
+    * duplicate keepers). Each round shuffles only the PAIR set — the corpus
+    * is never re-shuffled — and localCheckpoints to truncate lineage.
     * Returns (id, cluster_id = min doc id of the component). */
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    nearDupClustersWithRounds(pairs, maxRounds)._1
+
+  /** [[nearDupClusters]] plus the number of (large-star, small-star) rounds
+    * it took to reach the fixed point — asserted logarithmic by spec. */
+  def nearDupClustersWithRounds(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint()
+    // fixed-point detection: an order-insensitive fingerprint of the edge
+    // SET (count + two independent hash XORs — edges are deduplicated, so
+    // XOR over distinct hashes is sound, overflow-free under ANSI, and one
+    // aggregate per round instead of an except() anti-shuffle). A collision
+    // would only end the loop at a state that two 64-bit XORs AND the count
+    // all agree on.
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("v"), col("u"), lit(17)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var fp = fingerprint(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for v > u
+      val both = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = both.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = both.join(largeMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+        .localCheckpoint()
+      // small-star: orient (u > v); m = min neighbors; star them onto m
+      val oriented = afterLarge.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .dropDuplicates("u", "v")
+      val smallMin = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = oriented.join(smallMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+        .localCheckpoint()
+      edges = afterSmall
+      val fpNew = fingerprint(edges)
+      converged = fpNew == fp
+      fp = fpNew
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxRounds " +
+          "large/small-star rounds — raise maxRounds")
+    // fixed point: every edge is (member, component-min); centers label
+    // themselves
+    val labels = nodes
+      .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+    (labels, round)
+  }
+
+  /** The round-3 one-hop smallest-label propagation, kept as the
+    * differential-test baseline for [[nearDupClusters]]: same contract,
+    * O(component diameter) rounds instead of O(log n). */
+  def nearDupClustersOneHop(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .dropDuplicates("id_a", "id_b")

@@ -103,6 +103,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q56/q63: no per-key window over the raw event union (mega-key defense)") {
+    // the round-3 verdict's last prose-only skew defense, now a plan gate:
+    // any window whose expressions touch the raw right payload (_r) must be
+    // partitioned by (key, bucket) — key-only windows are allowed solely
+    // over the per-bucket closing summaries
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("q56_asof_join", "q63_funnel_asof").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val wins = plan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name lost its windows entirely")
+      wins.foreach { w =>
+        val touchesRaw = w.windowExpressions.exists(_.collect {
+          case a: AttributeReference if a.name == "_r" => a
+        }.nonEmpty)
+        if (touchesRaw)
+          assert(w.partitionSpec.size >= 2,
+            s"$name windows the raw union per key alone: $w")
+      }
+    }
+  }
+
   test("q55 decontamination anti-join is broadcast; q54 top-k is window-free") {
     val p55 = plan("q55_decontaminate")
     assert(p55.contains("BroadcastHashJoin") && p55.contains("LeftAnti"), p55)

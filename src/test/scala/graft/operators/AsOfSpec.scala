@@ -85,4 +85,83 @@ class AsOfSpec extends AnyFunSuite {
     val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
     assert(bad.isEmpty)
   }
+
+  test("bucketed == plain asofJoin on a randomized corpus with one MEGA-key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // key 0 is the mega-key: it owns ~70% of all rows and spans every
+    // bucket — the exact skew shape the bucketing exists for. Width 100
+    // over ts range [0,1000) -> ~10 buckets; plenty of left rows land in
+    // buckets with no in-bucket right row, exercising the carry-in path.
+    def key() = if (rnd.nextInt(10) < 7) 0L else 1L + rnd.nextInt(5)
+    val lefts = Seq.fill(600)((key(), rnd.nextInt(1000).toLong, rnd.nextLong()))
+    val rights = Seq.fill(80)((key(), rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, k * 100000 + t) }
+    val l = lefts.toDF("k", "lts", "lid").repartition(7)
+    val r = rights.toDF("k", "rts", "rid").repartition(5)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("lts"), col("lid"),
+        col("asof.rid").as("rid"), col("asof.rts").as("rts"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        if (row.isNullAt(3)) None else Some(row.getLong(3)),
+        if (row.isNullAt(4)) None else Some(row.getLong(4))))
+      .sortBy(t => (t._1, t._2, t._3))
+      .toSeq
+    val plain = norm(AsOf.asofJoin(l, r, "k", "lts", "rts"))
+    for (width <- Seq(1L, 7L, 100L, 5000L)) {
+      val bucketed = norm(AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", width))
+      assert(bucketed == plain, s"width=$width diverged")
+    }
+  }
+
+  test("bucketed: null semantics, inclusive bound, and timestamp ts match plain") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L), 1L), (None, Some(100L), 2L),
+      (Some(1L), None, 3L), (Some(1L), Some(99L), 4L)).toDF("k", "lts", "lid")
+    val r = Seq((Some(1L), Some(100L), 10L), (Some(1L), None, 11L),
+      (None, Some(10L), 12L), (Some(1L), Some(40L), 13L)).toDF("k", "rts", "rid")
+    val got = AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", bucketWidth = 50L)
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    // equal-ts inclusive (1 -> 10), carry-in across bucket edge (4 -> 13,
+    // right row in bucket 0, left in bucket 1), nulls unmatched
+    assert(got == Map(1L -> Some(10L), 2L -> None, 3L -> None, 4L -> Some(13L)))
+
+    // timestamp-typed ts goes through unix_micros bucketing
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    val lt = Seq((1L, at(100), 1L), (1L, at(30), 2L)).toDF("k", "lts", "lid")
+    val rt = Seq((1L, at(50), 10L), (1L, at(10), 11L)).toDF("k", "rts", "rid")
+    val gotTs = AsOf.asofJoinBucketed(lt, rt, "k", "lts", "rts",
+      bucketWidth = 60L * 1000000L) // 1-minute buckets
+      .select(col("lid"), col("asof.rid").as("rid")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(gotTs == Map(1L -> 10L, 2L -> 11L))
+  }
+
+  test("bucketed: every window over the raw stream partitions by (key, bucket)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val l = Seq((1L, 1L, 1L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, 1L, 1L)).toDF("k", "rts", "rid")
+    val plan = AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", 100L)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty)
+      // a window whose expressions touch the raw right payload (_r) must be
+      // partitioned by BOTH key and bucket — the mega-key defense; the
+      // key-only window is allowed solely over the bucket summaries (_cin)
+      val touchesRaw = w.windowExpressions.exists(_.collect {
+        case a: AttributeReference if a.name == "_r" => a
+      }.nonEmpty)
+      if (touchesRaw)
+        assert(w.partitionSpec.size >= 2,
+          s"raw-stream window is not bucket-partitioned: $w")
+    }
+  }
 }

@@ -244,12 +244,40 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - trueJaccard("a b c d e f", "a b c d e zz")) < 1e-12)
   }
 
-  test("connected components: a long chain converges (O(diameter) rounds)") {
-    // chain 15-14-13-...-1: min label must travel 14 hops
+  test("connected components: a long chain converges") {
+    // chain 15-14-13-...-1: one-hop propagation would need 14 hops
     val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val clusters = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.values.toSet == Set(1L))
+  }
+
+  test("connected components: 10^3-node adversarial chain in ~log2(n) rounds") {
+    // the template-drift worst case: one 1000-node path. Diameter-bound
+    // propagation needs 999 rounds; large-star/small-star must fold it
+    // logarithmically. Worst ordering for min-propagation: ids descending.
+    val n = 1000L
+    val pairs = (1L until n).map(i => (n - i, n - i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.nearDupClustersWithRounds(pairs, maxRounds = 25)
+    val cap = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt // = 20
+    assert(rounds <= cap, s"took $rounds rounds, cap $cap")
+    val clusters = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.length == n.toInt)
+    assert(clusters.forall(_._2 == 1L))
+  }
+
+  test("connected components: log-round == one-hop baseline on a random graph") {
+    // differential: both algorithms must produce identical labelings on a
+    // seeded random graph with many components of varied shape
+    val rnd = new scala.util.Random(2026)
+    val edges = Seq.fill(120)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.nearDupClustersOneHop(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
   }
 
   test("minhash rejects bands that do not divide k (silent lane loss)") {
