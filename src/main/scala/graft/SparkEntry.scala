@@ -473,6 +473,18 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("tok_start"), col("pack_id"), col("pack_pos"))
     }),
+    "q64_bpe_tokens" -> ((s, dir) => {
+      // REAL BPE token counts: merge table trained once on a bounded
+      // hash-range sample (Bpe.train), broadcast, applied distributed. The
+      // oracle replays the MATERIALIZED merge table over the same text as a
+      // fold of non-overlapping replace()s — '|' and '¶' are the oracle's
+      // token/word separators, so both sides count text with those two
+      // characters stripped (the query pins the BPE math; the operator
+      // itself takes arbitrary text).
+      val d = load(s, dir, "documents")
+      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+      graft.operators.Bpe.tokenCounts(d, "doc_id", bpeText(col("text")), enc)
+    }),
     "q60_redact_pii" -> ((s, dir) => {
       // PII redaction over a corpus with deterministically planted
       // emails/phones (every 7th doc) — patterns chosen for identical
@@ -638,6 +650,29 @@ object SparkEntry {
     })
   )
 
+  /** Oracle-separator strip for the q64 BPE check: '|' and '¶' are the
+    * DuckDB oracle's token/word boundary characters, so the query trains
+    * and counts over text without them — identically on both sides. */
+  private def bpeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "[|¶]", "")
+
+  /** Trained BPE merge table, SINGLE-SLOT cached per (session, sfDir) —
+    * the skipRuleOutcome pattern — so the q64 query and the `bpe_merges`
+    * materialization describe the SAME training run without retraining. */
+  @volatile private var bpeSlot
+      : Option[(SparkSession, String, IndexedSeq[graft.operators.Bpe.Merge])] = None
+
+  def bpeMergeTable(s: SparkSession, dir: String): IndexedSeq[graft.operators.Bpe.Merge] = {
+    bpeSlot match {
+      case Some((cs, cd, m)) if (cs eq s) && cd == dir => return m
+      case _ =>
+    }
+    val m = graft.operators.Bpe.train(
+      load(s, dir, "documents"), "doc_id", bpeText(col("text")), nMerges = 200)
+    bpeSlot = Some((s, dir, m))
+    m
+  }
+
   // ---- oracle-side materializations -----------------------------------------
 
   /** Raw (un-deduped) modules of a corpus where every turn also appears a
@@ -690,6 +725,10 @@ object SparkEntry {
       import s.implicits._
       skipRuleOutcome(s, dir)._3.toSeq
         .sortBy(r => (r.module_ordinal, r.zone_catalog, r.zone_str)).toDF()
+    }),
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeMergeTable(s, dir).toDF()
     }),
     "transcripts_raw" -> ((s, dir) =>
       ExtractPipeline.transcripts(s, nConvsFor(dir),
@@ -1144,6 +1183,36 @@ object SparkEntry {
         |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
         |    AS dup_3gram_frac
         |FROM g""".stripMargin,
+    // q64: recompute BPE token counts FROM THE MATERIALIZED MERGE TABLE.
+    // Encoding: every token as '|tok|', concatenated ('|c1||c2|'), words
+    // joined by '¶'; merge (lhs,rhs) is then the plain-string replace
+    // '|lhs||rhs|' -> '|lhsrhs|', whose left-to-right non-overlapping
+    // semantics is exactly the engine's one-greedy-pass-per-rank applier
+    // (fuzz-pinned); n_tokens = pipes / 2. Both sides strip '|'/'¶' first.
+    "q64_bpe_tokens" ->
+      s"""WITH RECURSIVE doc0 AS (
+         |  SELECT doc_id, coalesce(array_to_string(list_transform(
+         |      list_filter(
+         |        regexp_split_to_array(
+         |          regexp_replace(text, '[|¶]', '', 'g'), '\\s+'),
+         |        w -> length(w) > 0),
+         |      w -> '|' || array_to_string(
+         |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
+         |    '¶'), '') AS s
+         |  FROM documents),
+         |steps AS (
+         |  SELECT doc_id, s, 0 AS r FROM doc0
+         |  UNION ALL
+         |  SELECT st.doc_id,
+         |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
+         |                  '|' || m.lhs || m.rhs || '|'),
+         |    st.r + 1
+         |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r)
+         |SELECT doc_id,
+         |  CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
+         |    AS n_tokens
+         |FROM steps
+         |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
 
     // ---- near-dup verify stages over materialized candidate pairs ----------
     "q41_dedup_minhash" ->

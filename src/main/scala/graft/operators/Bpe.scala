@@ -1,0 +1,211 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer — the real merge-table algorithm
+  * (Gage, "A New Algorithm for Data Compression", 1994; Sennrich et al.,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL 2016 —
+  * both public), replacing the `TextStats.subwordCount` heuristic for
+  * anything that budgets by tokens (q30-style stats, q59-style packing:
+  * pass `Bpe.tokenCounts` output as the packing `tokensCol`).
+  *
+  * Split of labor, 100 TB shape:
+  *  - TRAINING is driver-side over a BOUNDED corpus: word counts from a
+  *    deterministic hash-range sample of documents (HashSample — the shared
+  *    sampler behind Ivf.fit), capped to the `maxVocab` most frequent
+  *    words. The merge loop never sees row-scaled data; the resulting
+  *    table is a few hundred tiny rows, broadcast to every executor.
+  *  - APPLICATION is distributed and embarrassingly parallel: a
+  *    mapPartitions kernel with a per-partition word→count memo (corpus
+  *    words repeat heavily, so the merge fold runs once per DISTINCT word
+  *    per partition and is a hash lookup after that).
+  *
+  * Application semantics (pinned, and what the DuckDB oracle replays):
+  * merges apply in rank order, ONE greedy left-to-right non-overlapping
+  * pass each — `aaaa` + (a,a) → `aa aa` in a single pass. This matches a
+  * fold of non-overlapping string `replace` over the ranked merges, which
+  * is exactly how the q64 oracle recomputes counts from the materialized
+  * merge table. (The canonical priority-queue applier can differ only when
+  * a later merge re-creates a symbol an EARLIER merge consumes — symbol
+  * aliasing, impossible for merge tables this trainer emits over sampled
+  * text; the sequential semantics is deterministic either way.)
+  *
+  * Symbols are Unicode code points (so counts agree with DuckDB's
+  * character-based string functions); words are whitespace-delimited and
+  * merges never cross word boundaries. No end-of-word marker — a merge
+  * learned mid-word applies at word end too, documented and mirrored in
+  * training, application, and oracle alike.
+  */
+object Bpe {
+
+  /** One learned merge: at `merge_rank`, adjacent symbols (lhs, rhs) fuse
+    * into lhs+rhs. Field names double as the materialized table schema. */
+  final case class Merge(merge_rank: Long, lhs: String, rhs: String)
+
+  /** Split into single-code-point symbols (surrogate pairs stay whole). */
+  private def symbols(w: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out
+  }
+
+  /** One greedy left-to-right non-overlapping pass of (a,b)→ab, in place. */
+  private def applyMerge(syms: mutable.ArrayBuffer[String],
+      a: String, b: String): Unit = {
+    var r = 0
+    var w = 0
+    while (r < syms.length) {
+      if (r + 1 < syms.length && syms(r) == a && syms(r + 1) == b) {
+        syms(w) = a + b
+        r += 2
+      } else {
+        syms(w) = syms(r)
+        r += 1
+      }
+      w += 1
+    }
+    if (w < syms.length) syms.remove(w, syms.length - w)
+  }
+
+  /** Learn `nMerges` merges from (word, count) pairs, driver-side: each
+    * round counts all adjacent symbol pairs (weighted by word count), takes
+    * the most frequent — ties broken to the lexicographically smallest
+    * (lhs, rhs), so training is deterministic — and applies it everywhere.
+    * Stops early when no pair occurs at least twice (merging a count-1
+    * pair is pure vocab noise). */
+  def trainFromCounts(wordCounts: Seq[(String, Long)],
+      nMerges: Int): IndexedSeq[Merge] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val words = wordCounts.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (wd, c) => (symbols(wd), c) }
+      .toArray
+    val out = IndexedSeq.newBuilder[Merge]
+    var rank = 0L
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words) {
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestC = 1L // demand count >= 2
+      for ((k, c) <- pairCounts) {
+        if (c > bestC || (c == bestC && best != null &&
+            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+          best = k
+          bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        for ((syms, _) <- words) applyMerge(syms, best._1, best._2)
+        out += Merge(rank, best._1, best._2)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed training: deterministic hash-range sample of `sampleDocs`
+    * documents, word counts aggregated in Spark, top `maxVocab` words
+    * collected (bounded by construction), merges learned driver-side. */
+  def train(docs: DataFrame, idCol: String, textCol: Column, nMerges: Int,
+      sampleDocs: Int = 2048, maxVocab: Int = 32768): IndexedSeq[Merge] = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      textCol.cast("string").as("t"))
+    val total = base.count()
+    val plan = HashSample.plan(base, "id", sampleDocs, total)
+    val got = plan.sampled.count()
+    val chosen =
+      if (plan.undershot(got, sampleDocs, total)) plan.fallback
+      else plan.sampled
+    val wc = chosen
+      .select(explode(split(col("t"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(wc.toSeq, nMerges)
+  }
+
+  /** Serializable applier: merges in rank order, one greedy pass each. */
+  final class Encoder(val merges: IndexedSeq[Merge]) extends Serializable {
+    private val ranked: Array[Merge] = merges.sortBy(_.merge_rank).toArray
+
+    /** Token count of one whitespace-free word. */
+    def wordTokens(w: String): Int = {
+      if (w.isEmpty) return 0
+      val syms = symbols(w)
+      var i = 0
+      while (i < ranked.length && syms.length > 1) {
+        applyMerge(syms, ranked(i).lhs, ranked(i).rhs)
+        i += 1
+      }
+      syms.length
+    }
+
+    /** Token count of a whole text: whitespace words, summed. */
+    def textTokens(t: String): Long = {
+      if (t == null) return 0L
+      var n = 0L
+      for (w <- t.split("\\s+") if w.nonEmpty) n += wordTokens(w)
+      n
+    }
+  }
+
+  /** Per-document token counts, distributed: broadcast encoder + a
+    * per-partition word memo capped at 2^20 entries (cleared, not evicted,
+    * when full — correctness never depends on the cache). Output:
+    * (doc_id, n_tokens). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: Column,
+      enc: Encoder): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(enc)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        textCol.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val e = bc.value
+        val memo = new java.util.HashMap[String, Integer](1 << 12)
+        it.map { case (id, t) =>
+          var n = 0L
+          if (t != null) {
+            val words = t.split("\\s+")
+            var i = 0
+            while (i < words.length) {
+              val w = words(i)
+              if (w.nonEmpty) {
+                var c = memo.get(w)
+                if (c == null) {
+                  if (memo.size >= (1 << 20)) memo.clear()
+                  c = Integer.valueOf(e.wordTokens(w))
+                  memo.put(w, c)
+                }
+                n += c.intValue()
+              }
+              i += 1
+            }
+          }
+          (id, n)
+        }
+      }
+      .toDF("doc_id", "n_tokens")
+  }
+}

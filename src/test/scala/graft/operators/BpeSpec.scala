@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bpe vs an independent driver-side reference implementation (recursive
+  * list rewriting, deliberately shaped nothing like the engine's in-place
+  * array kernel), plus training-semantics pins. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  // reference applier: one greedy left-to-right pass per merge, in rank
+  // order — functional list recursion
+  private def onePass(syms: List[String], a: String, b: String): List[String] =
+    syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: onePass(rest, a, b)
+      case x :: rest => x :: onePass(rest, a, b)
+      case Nil => Nil
+    }
+
+  private def refWordTokens(w: String, merges: Seq[(String, String)]): Int = {
+    val chars = w.codePoints().toArray.toList.map(Character.toString)
+    merges.foldLeft(chars) { case (s, (a, b)) => onePass(s, a, b) }.length
+  }
+
+  private def refTextTokens(t: String, merges: Seq[(String, String)]): Long =
+    t.split("\\s+").filter(_.nonEmpty).map(refWordTokens(_, merges).toLong).sum
+
+  test("training learns the planted most-frequent pair first, deterministically") {
+    val counts = Seq(("abab", 10L), ("ab", 5L), ("cd", 3L))
+    val merges = Bpe.trainFromCounts(counts, nMerges = 3)
+    // (a,b) dominates (25 occurrences); then (ab,ab) in the 10 "abab"s;
+    // then (c,d) with 3
+    assert(merges.map(m => (m.lhs, m.rhs)) ==
+      Seq(("a", "b"), ("ab", "ab"), ("c", "d")))
+    assert(merges.map(_.merge_rank) == Seq(0L, 1L, 2L))
+    // deterministic: retraining is bit-identical
+    assert(Bpe.trainFromCounts(counts, 3) == merges)
+  }
+
+  test("training stops when no pair occurs twice; ties break lexicographically") {
+    // every pair occurs exactly once -> nothing to learn
+    assert(Bpe.trainFromCounts(Seq(("abcd", 1L)), 10).isEmpty)
+    // (x,y) and (p,q) both occur twice -> smallest (lhs, rhs) wins first
+    val m = Bpe.trainFromCounts(Seq(("xy", 2L), ("pq", 2L)), 1)
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("p", "q")))
+  }
+
+  test("encoder == reference applier on randomized corpora and merge tables") {
+    val rnd = new scala.util.Random(64)
+    for (trial <- 0 until 20) {
+      val alphabet = "abc"
+      var symbols = alphabet.map(_.toString).toVector
+      val merges = (0 until 10).flatMap { r =>
+        val a = symbols(rnd.nextInt(symbols.length))
+        val b = symbols(rnd.nextInt(symbols.length))
+        symbols :+= (a + b)
+        Some((a, b))
+      }.distinct
+      val table = merges.zipWithIndex.map { case ((a, b), r) =>
+        Bpe.Merge(r.toLong, a, b)
+      }.toIndexedSeq
+      val enc = new Bpe.Encoder(table)
+      for (_ <- 0 until 40) {
+        val word = Seq.fill(rnd.nextInt(14))(
+          alphabet(rnd.nextInt(3)).toString).mkString
+        assert(enc.wordTokens(word) == refWordTokens(word, merges),
+          s"trial $trial word '$word'")
+      }
+    }
+  }
+
+  test("distributed tokenCounts == reference on a trained table (end to end)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val docs = (0L until 120L).map { i =>
+      val text = Seq.fill(rnd.nextInt(30))(
+        Seq.fill(1 + rnd.nextInt(8))("abcde" (rnd.nextInt(5))).mkString).mkString(" ")
+      (i, text)
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val merges = Bpe.train(df, "doc_id", col("text"), nMerges = 40)
+    assert(merges.nonEmpty)
+    val enc = new Bpe.Encoder(merges)
+    val got = Bpe.tokenCounts(df, "doc_id", col("text"), enc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = merges.map(m => (m.lhs, m.rhs))
+    val exp = docs.map { case (i, t) => i -> refTextTokens(t, pairs) }.toMap
+    assert(got == exp)
+    // merging strictly reduces or preserves counts vs character count
+    val charCounts = docs.map { case (i, t) =>
+      i -> t.split("\\s+").filter(_.nonEmpty).map(_.length.toLong).sum
+    }.toMap
+    docs.foreach { case (i, _) => assert(got(i) <= charCounts(i)) }
+  }
+
+  test("unicode: symbols are code points (astral chars count as one)") {
+    val enc = new Bpe.Encoder(IndexedSeq.empty)
+    assert(enc.wordTokens("héllo") == 5)
+    assert(enc.wordTokens("a😀b") == 3) // emoji = ONE symbol
+    val learned = Bpe.trainFromCounts(Seq(("😀😀", 5L)), 1)
+    assert(learned.head.lhs == "😀" && learned.head.rhs == "😀")
+  }
+
+  test("empty/null/whitespace texts count zero tokens") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "ab")).toDF("doc_id", "text")
+    val enc = new Bpe.Encoder(IndexedSeq(Bpe.Merge(0L, "a", "b")))
+    val got = Bpe.tokenCounts(df, "doc_id", col("text"), enc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+}
