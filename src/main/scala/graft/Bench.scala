@@ -20,7 +20,9 @@ object Bench {
     "q30_text_tokens", "q41_dedup_minhash", "q44_ann_brute_topk",
     "q46_multimodal_features",
     // round-3 additions: as-of join, exact n-gram Jaccard join, range join
-    "q56_asof_join", "q57_dedup_ngram_jaccard", "q58_range_join")
+    "q56_asof_join", "q57_dedup_ngram_jaccard", "q58_range_join",
+    // round-4 additions: chained-as-of funnel, BPE token counting
+    "q63_funnel_asof", "q64_bpe_tokens")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
@@ -100,10 +102,74 @@ object Bench {
   /** Interleaved rounds per query (steal-proofing): this VM exhibits
     * multi-minute hypervisor CPU-steal episodes, so any SINGLE timing can
     * be 10–30× off. Each query runs once per round, rounds interleave all
-    * queries, and the reported number is the per-query MINIMUM — a steal
-    * episode must span every round to corrupt it. The spread (max/min)
-    * rides along in the JSON so a corrupted round is self-evident. */
-  val Rounds = 3
+    * queries, and the reported number is the per-query MINIMUM.
+    *
+    * Round-3 lesson: a steal episode spanning all base rounds still
+    * publishes corrupted spreads — so the protocol is now ADAPTIVE. The
+    * reported spread is max/min over the 3 LOWEST samples (the corrupted
+    * highs a longer run accumulates are measurement artifacts, not query
+    * behavior), and rounds keep running past the base count until every
+    * leg's low-3 spread is <= SpreadCap or MaxRounds is hit. A published
+    * spread above the cap therefore means the box was stealing for the
+    * WHOLE bench window — self-evidently invalid rather than misleading. */
+  val BaseRounds = 3
+  val MaxRounds = 8
+  val SpreadCap = 3.0
+
+  /** Spread (max/min) over the lowest `take` samples — the steal-robust
+    * repeatability estimate. */
+  def lowSpread(s: List[Double], take: Int = 3): Double = s match {
+    case Nil => -1.0
+    case _ =>
+      val low = s.sorted.take(take)
+      low.last / low.head
+  }
+
+  /** Streaming interval-join leg: the q58 incident-attribution shape driven
+    * through the native stream-stream join (StreamingExtract
+    * .intervalJoinStream), events fed in 4 micro-batches per side from the
+    * sf dir's events table. Timed: feeding + processing to completion.
+    * Driver-side collect of the events table is measurement plumbing at
+    * bench scale (100k tiny rows), not a pipeline pattern. */
+  def streamingIntervalJoinLeg(spark: SparkSession, sfDir: String): Double = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts").cast("timestamp"))
+      .collect()
+    val points = rows.filter(_.getString(2) != "error")
+      .map(r => (r.getLong(0), r.getTimestamp(3), r.getLong(1)))
+    val intervals = rows.filter(_.getString(2) == "error")
+      .map(r => (r.getLong(0), r.getTimestamp(3),
+        new Timestamp(r.getTimestamp(3).getTime + 1800000L), r.getLong(1)))
+    val pStream = MemoryStream[(Long, Timestamp, Long)]
+    val iStream = MemoryStream[(Long, Timestamp, Timestamp, Long)]
+    val joined = graft.streaming.StreamingExtract.intervalJoinStream(
+      pStream.toDF().toDF("k", "pts", "pid"), "pts",
+      iStream.toDF().toDF("k", "ws", "we", "iid"), "ws", "we", "k",
+      delay = "365 days", maxIntervalLen = "1 hour")
+    val q = joined.writeStream.format("noop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val nb = 4
+      val pb = points.grouped((points.length + nb - 1) / nb).toArray
+      val ib = intervals.grouped((intervals.length + nb - 1) / nb).toArray
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < nb) {
+        if (i < pb.length) pStream.addData(pb(i).toSeq)
+        if (i < ib.length) iStream.addData(ib(i).toSeq)
+        q.processAllAvailable()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    } finally q.stop()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,12 +187,16 @@ object Bench {
       .withDefaultValue(Nil)
     var turns = 0L
     var extractSamples = List.empty[Double]
-    for (_ <- 1 to Rounds) {
+    var streamSamples = List.empty[Double]
+    def roundOnce(): Unit = {
       headline.foreach { name =>
         val fn = SparkEntry.queries(name)
         val secs = try time(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
         if (secs >= 0) samples(name) = secs :: samples(name)
       }
+      // streaming interval-join leg, interleaved like the batch queries
+      try streamSamples = streamingIntervalJoinLeg(spark, sfDir) :: streamSamples
+      catch { case _: Throwable => }
       // north metric leg: turns-extracted/sec on a corpus sized to the sf
       // dir — try-guarded like the headline queries so one failed round
       // still emits a bench JSON line (with -1 sentinels if ALL fail)
@@ -135,6 +205,15 @@ object Bench {
         turns = t
         extractSamples = extractSecs :: extractSamples
       } catch { case _: Throwable => }
+    }
+    def worstLowSpread: Double =
+      ((headline.map(samples(_)) :+ extractSamples :+ streamSamples)
+        .map(lowSpread(_)) :+ -1.0).max
+    var round = 0
+    while (round < BaseRounds ||
+        (round < MaxRounds && worstLowSpread > SpreadCap)) {
+      roundOnce()
+      round += 1
     }
 
     // ANN recall gate at bench scale (round-3 verdict #4): recall@10 of the
@@ -157,27 +236,54 @@ object Bench {
       (recallOf("q45_ann_lsh_topk"), recallOf("q47_ann_ivf_topk"))
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // Embedding near-dup PAIR recall (round-3 verdict #6): candidate pairs
+    // of the q43 path (hyperplane signs + multi-probe r=1) vs ALL pairs at
+    // cosine >= 0.98 from an exact all-pairs baseline on the same planted
+    // corpus. The all-pairs join is bench-scale measurement only (4k
+    // vectors); the collected sets are the qualifying PAIRS, bounded by the
+    // planted-duplicate count, not the corpus square.
+    import org.apache.spark.sql.functions.col
+    val recallEmb = try {
+      val corpus = SparkEntry.withPlantedEmbDups(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")))
+      val v = corpus.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val exact = v.select(col("id").as("id_a"), col("v").as("v_a"))
+        .crossJoin(v.select(col("id").as("id_b"), col("v").as("v_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.operators.Dedup.cosine(col("v_a"), col("v_b")) >= 0.98)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(exact.nonEmpty, "no exact pairs at threshold")
+      val cand = graft.operators.Dedup.embeddingCandidates(
+        corpus, "vec_id", "embedding", dim = 64)
+        .select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      cand.intersect(exact).size.toDouble / exact.size
+    } catch { case _: Throwable => -1.0 }
+
     def fmt(v: Double) = f"$v%.3f"
     val mins = headline.map(n => n ->
       (if (samples(n).nonEmpty) samples(n).min else -1.0))
-    val spreads = headline.map(n => n -> (samples(n) match {
-      case Nil => -1.0
-      case s => s.max / s.min
-    }))
+    val spreads = headline.map(n => n -> lowSpread(samples(n)))
     val extractSec =
       if (extractSamples.nonEmpty) extractSamples.min else -1.0
-    val extractSpread =
-      if (extractSamples.nonEmpty) extractSamples.max / extractSamples.min else -1.0
+    val streamSec =
+      if (streamSamples.nonEmpty) streamSamples.min else -1.0
     val tput = if (extractSec > 0) turns / extractSec else -1.0
 
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = (mins :+ ("streaming_interval_join" -> streamSec))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val sp = (spreads :+ ("extract" -> extractSpread))
+    val sp = (spreads :+ ("extract" -> lowSpread(extractSamples)) :+
+        ("streaming_interval_join" -> lowSpread(streamSamples)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val total = mins.map(_._2).filter(_ >= 0).sum + math.max(extractSec, 0)
+    val total = mins.map(_._2).filter(_ >= 0).sum +
+      math.max(extractSec, 0) + math.max(streamSec, 0)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$Rounds,"recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f},"spread_max_over_min":$sp}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$round,"protocol":"interleaved minima; spread = max/min of 3 lowest samples; extra rounds (cap $MaxRounds) until every spread <= $SpreadCap","recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f},"recall_pairs":{"embedding":$recallEmb%.3f},"spread_low3":$sp}""")
     spark.stop()
   }
 }

@@ -150,16 +150,27 @@ object AsOf {
       .select(col("_k"), col("_vb").as("_b"), col("_cin"))
 
     // phase 2: the asofJoin union-window, partitioned by (key, bucket) —
-    // the raw row stream is never windowed per key alone
-    val all = r.withColumn("_l", lit(null).cast(lType)).unionByName(lOk)
+    // the raw row stream is never windowed per key alone. The carry-in is
+    // INJECTED as one pseudo-right row per (key, left-bucket) with a NULL
+    // timestamp (asc_nulls_first sorts it before every real row of the
+    // bucket), so the big side costs exactly ONE shuffle + window — no
+    // join after the window. Real null-ts rows can't collide: null-ts
+    // right rows are dropped and null-ts left rows bypass via lNull.
+    val tsType = lOk.schema("_t").dataType
+    val carryRows = carry.filter(col("_cin").isNotNull)
+      .select(col("_k"), lit(null).cast(tsType).as("_t"),
+        lit(-1).as("_tag"), col("_cin").as("_r"),
+        lit(null).cast(lType).as("_l"), col("_b"))
+    val all = r.withColumn("_l", lit(null).cast(lType))
+      .unionByName(lOk)
+      .unionByName(carryRows)
     val wIn = Window.partitionBy(col("_k"), col("_b"))
-      .orderBy(col("_t"), col("_tag"))
+      .orderBy(col("_t").asc_nulls_first, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucket = all
-      .withColumn("_in", last(col("_r"), ignoreNulls = true).over(wIn))
+    val matched = all
+      .withColumn("asof", last(col("_r"), ignoreNulls = true).over(wIn))
       .filter(col("_tag") === 1)
-    val matched = inBucket.join(carry, Seq("_k", "_b"), "left")
-      .select(col("_l"), coalesce(col("_in"), col("_cin")).as("asof"))
+      .select(col("_l"), col("asof"))
 
     matched
       .unionByName(lNull.withColumn("asof", lit(null).cast(rType)))
