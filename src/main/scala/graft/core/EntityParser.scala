@@ -66,8 +66,32 @@ object EntityParser {
     true
   }
 
-  def tokenize(s: String): Array[String] =
-    s.split(' ').filter(_.nonEmpty) // annuary_register_parser.py:153-154
+  /** Nonempty space-separated tokens in one pass (annuary_register_parser
+    * .py:153-154) — `split(' ').filter(_.nonEmpty)` builds two arrays per
+    * call and this runs per header name. */
+  def tokenize(s: String): Array[String] = {
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) != ' ' && (i == 0 || s.charAt(i - 1) == ' ')) count += 1
+      i += 1
+    }
+    val out = new Array[String](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var j = i
+        while (j < n && s.charAt(j) != ' ') j += 1
+        out(k) = s.substring(i, j)
+        k += 1
+        i = j
+      }
+    }
+    out
+  }
 
   /** `\d` under Java's default (ASCII) semantics. */
   def containsNumbers(s: String): Boolean = {
@@ -80,34 +104,63 @@ object EntityParser {
     * to spaces by the caller, mirroring :31). */
   def parse(raw: String): Either[ParseFailure, EntityRegister] = {
     val registerStr = raw.replace('\n', ' ')
-    val tokens = tokenize(registerStr)
-    if (tokens.length < 3)
+    // First two tokens + third-token existence by SPAN scan: the full
+    // tokenize array (one String per token, ~10 per header) was the largest
+    // header-parse allocation and only tokens(0)/tokens(1) are consumed.
+    // Token spans are identical to tokenize()'s by construction.
+    val n = registerStr.length
+    var i0 = 0
+    while (i0 < n && registerStr.charAt(i0) == ' ') i0 += 1
+    var i1 = i0
+    while (i1 < n && registerStr.charAt(i1) != ' ') i1 += 1
+    var j0 = i1
+    while (j0 < n && registerStr.charAt(j0) == ' ') j0 += 1
+    var j1 = j0
+    while (j1 < n && registerStr.charAt(j1) != ' ') j1 += 1
+    var k0 = j1
+    while (k0 < n && registerStr.charAt(k0) == ' ') k0 += 1
+    if (i1 == i0 || j1 == j0 || k0 >= n) // fewer than 3 tokens
       return Left(ParseFailure(ErrorCode.InsufficientTokens, registerStr))
 
-    val lettersId = tokens(0)
-    if (!allUpper(lettersId) || lettersId.length < 2)
-      return Left(ParseFailure(ErrorCode.BadLetterId, lettersId))
+    // letters id: >= 2 chars, all A-Z (substring materialized only when
+    // it survives into the result or an error detail — i.e. always small)
+    if (i1 - i0 < 2)
+      return Left(ParseFailure(ErrorCode.BadLetterId, registerStr.substring(i0, i1)))
+    var p = i0
+    while (p < i1) {
+      val c = registerStr.charAt(p)
+      if (c < 'A' || c > 'Z')
+        return Left(ParseFailure(ErrorCode.BadLetterId, registerStr.substring(i0, i1)))
+      p += 1
+    }
+    val lettersId = registerStr.substring(i0, i1)
 
-    val numbersIdStr = tokens(1)
-    if (!allDigits(numbersIdStr) || numbersIdStr.isEmpty)
-      return Left(ParseFailure(ErrorCode.BadNumericId, numbersIdStr))
-    // Post-regex overflow = an all-digit id too large for Int. The
-    // reference's unbounded Python int passes the regex and fails the
-    // MaxNumId range check (annuary_register_parser.py:89-97), so overflow
-    // is ID_OUT_OF_RANGE, not BAD_NUMERIC_ID — parseNumIdOnly already
-    // agrees.
-    val numId =
-      try numbersIdStr.toInt
-      catch { case _: NumberFormatException =>
-        return Left(ParseFailure(ErrorCode.IdOutOfRange, numbersIdStr))
-      }
-    if (numId > MaxNumId)
-      return Left(ParseFailure(ErrorCode.IdOutOfRange, numbersIdStr))
+    // numeric id parsed straight off the span. Post-regex overflow = an
+    // all-digit id too large for Int: the reference's unbounded Python int
+    // passes the regex and fails the MaxNumId range check
+    // (annuary_register_parser.py:89-97), so any all-digit value beyond
+    // MaxNumId — Int-overflowing or not — is ID_OUT_OF_RANGE, exactly the
+    // toInt-catch semantics this replaces; parseNumIdOnly already agrees.
+    p = j0
+    while (p < j1) {
+      if (!isAsciiDigit(registerStr.charAt(p)))
+        return Left(ParseFailure(ErrorCode.BadNumericId, registerStr.substring(j0, j1)))
+      p += 1
+    }
+    var acc = 0L
+    p = j0
+    while (p < j1 && acc <= MaxNumId) {
+      acc = acc * 10L + (registerStr.charAt(p) - '0')
+      p += 1
+    }
+    if (acc > MaxNumId)
+      return Left(ParseFailure(ErrorCode.IdOutOfRange, registerStr.substring(j0, j1)))
+    val numId = acc.toInt
 
     val kind = if (numId < CommunityStartId) "person" else "community" // :99-103
 
     // Name: substring after the two id tokens (:105-116).
-    val indexId = tokens(0).length + tokens(1).length + 1
+    val indexId = (i1 - i0) + (j1 - j0) + 1
     var name = registerStr.substring(math.min(indexId, registerStr.length)).trim
     // ','→'.' plus stray high-byte strip (\\x80 \\x98 \\x99 — smart-quote
     // debris in the reference's OCR output, annuary_register_parser.py:112).
@@ -127,7 +180,29 @@ object EntityParser {
     // Info extraction (:129-151): parenthesis group, community first token,
     // any token containing digits; order-preserving dedup.
     val info = scala.collection.mutable.ArrayBuffer.empty[String]
-    ParenthesisGroup.findFirstMatchIn(name).foreach(m => info += m.matched)
+    // first \(([A-Za-z0-9]+)\) match by manual scan — a regex Matcher +
+    // Match per header otherwise; equivalence: the alnum run is maximal so
+    // the regex has no backtracking alternatives, and the scan advances one
+    // position on failure exactly like findFirstMatchIn (ParserSpec
+    // differential pins this against the retained pattern)
+    locally {
+      var s = 0
+      var found: String = null
+      val nn = name.length
+      while (found == null && s < nn) {
+        if (name.charAt(s) == '(') {
+          var e = s + 1
+          while (e < nn && {
+            val c = name.charAt(e)
+            (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+          }) e += 1
+          if (e > s + 1 && e < nn && name.charAt(e) == ')')
+            found = name.substring(s, e + 1)
+        }
+        s += 1
+      }
+      if (found != null) info += found
+    }
     val nameTokens = tokenize(name)
     if (!isPerson && nameTokens.nonEmpty) info += nameTokens(0) // unconditional, :143-144
     for (t <- nameTokens)

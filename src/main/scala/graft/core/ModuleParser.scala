@@ -85,6 +85,117 @@ object ModuleParser {
     true
   }
 
+  // ---- precomputed zone tables (the parse-stage allocation diet) ----------
+  //
+  // Nearly every zone is 1-2 chars (moduleZones widths; a zone is shorter
+  // only when truncated at the module edge) and ASCII. For those spans the
+  // whole zone decode — confusion fix, catalog membership, canonical output
+  // string — is a pure function of (catalogId, c0, c1), so it is TABLED
+  // once at class init BY CALLING THE EXISTING decode path (semantics
+  // preserved by construction, pinned by ParserSpec + the q20/q25 oracles).
+  // The hot loop then does one array read per zone instead of a substring
+  // + fix + hash lookup: the per-zone allocation (≈330 B/turn, the
+  // dominant parse cost in the AllocProbe ledger) drops to zero on the
+  // success path. Non-ASCII, width>2, and FK/free-width zones fall back to
+  // the string path unchanged.
+  private val AsciiW = 128
+  private val CodeSpace = AsciiW + AsciiW * AsciiW // width-1 codes ++ width-2
+  @inline private def zcode1(c0: Char): Int = c0.toInt
+  @inline private def zcode2(c0: Char, c1: Char): Int =
+    AsciiW + c0.toInt * AsciiW + c1.toInt
+
+  /** code -> the literal 1-2 char ASCII string (free-text zones, errors). */
+  private val asciiStrings: Array[String] = {
+    val a = new Array[String](CodeSpace)
+    var c0 = 0
+    while (c0 < AsciiW) {
+      a(zcode1(c0.toChar)) = String.valueOf(c0.toChar)
+      var c1 = 0
+      while (c1 < AsciiW) {
+        a(zcode2(c0.toChar, c1.toChar)) = new String(Array(c0.toChar, c1.toChar))
+        c1 += 1
+      }
+      c0 += 1
+    }
+    a
+  }
+
+  /** code -> canonical fixed year string, or null when invalid. */
+  private val yearTable: Array[String] = {
+    val a = new Array[String](CodeSpace)
+    val canon = new java.util.HashMap[String, String]()
+    var i = 0
+    while (i < CodeSpace) {
+      val raw = asciiStrings(i)
+      val tmp = Grammar.fixYear(raw)
+      if (tmp.indexOf('_') >= 0 || tmp.forall(c => c >= '0' && c <= '9')) {
+        var v = canon.get(tmp)
+        if (v == null) { canon.put(tmp, tmp); v = tmp }
+        a(i) = v
+      }
+      i += 1
+    }
+    a
+  }
+
+  /** catalogId (POST-alias) -> code -> canonical member string, or null
+    * when the fixed value is not in the catalog. */
+  private val zoneTables: Array[Array[String]] = {
+    val tables = new Array[Array[String]](64)
+    val canon = new java.util.HashMap[String, String]()
+    Catalogs.tables.keys.foreach { cid =>
+      val t = new Array[String](CodeSpace)
+      var i = 0
+      while (i < CodeSpace) {
+        val fixed = Grammar.fixKnownIssues(cid, asciiStrings(i))
+        if (Catalogs.contains(cid, fixed)) {
+          var v = canon.get(fixed)
+          if (v == null) { canon.put(fixed, fixed); v = fixed }
+          t(i) = v
+        }
+        i += 1
+      }
+      tables(cid) = t
+    }
+    tables
+  }
+
+  /** Span form of [[parseZoneInto]] for `moduleStr.substring(lo, hi)`:
+    * identical outcomes, zero allocation on the tabled paths. */
+  private def parseZoneSpanInto(catalogId0: Int, s: String, lo: Int, hi: Int,
+      ctx: Context, res: ParseResult): String = {
+    if (hi <= lo) {
+      res.fail(ErrorCode.BadZoneString, catalogId0, ""); return null
+    }
+    val w = hi - lo
+    if (w <= 2) {
+      val c0 = s.charAt(lo)
+      val c1 = if (w == 2) s.charAt(lo + 1) else ' '
+      if (c0 < AsciiW && (w == 1 || c1 < AsciiW)) {
+        val code = if (w == 1) zcode1(c0) else zcode2(c0, c1)
+        if (catalogId0 == 0) return asciiStrings(code) // free text, canonical
+        if (catalogId0 == 1) {
+          val v = yearTable(code)
+          if (v != null) return v
+          res.fail(ErrorCode.BadYear, 1, asciiStrings(code)); return null
+        }
+        if (catalogId0 != 32 && catalogId0 != 42) {
+          val cid = if (catalogId0 == 27) 9 else catalogId0
+          val table = if (cid >= 0 && cid < 64) zoneTables(cid) else null
+          if (table != null) {
+            val v = table(code)
+            if (v != null) return v
+            res.fail(ErrorCode.InvalidValueOnZone, catalogId0,
+              Grammar.fixKnownIssues(cid, asciiStrings(code)))
+            return null
+          }
+        }
+      }
+    }
+    // fallback: FK zones, width > 2, non-ASCII, unknown catalogs
+    parseZoneInto(catalogId0, s.substring(lo, hi), ctx, res)
+  }
+
   /** Hot-path module parse: true = success (res.moduleType/zones set),
     * false = fatal error (res.err* set). Allocates only the output zones
     * array + zone strings. */
@@ -107,12 +218,23 @@ object ModuleParser {
       val catalogId = zone._1
       val width = zone._2
       val end = math.min(index + width, moduleStr.length)
-      val zoneStr = if (index >= moduleStr.length) "" else moduleStr.substring(index, end)
-      val v = parseZoneInto(catalogId, zoneStr, ctx, res)
+      val lo = math.min(index, moduleStr.length)
+      val v = parseZoneSpanInto(catalogId, moduleStr, lo, end, ctx, res)
       if (v != null) out(zi) = v
       else if (ctx.shouldSkip(moduleOrdinal,
-          ZoneError(res.errCode, res.errCatalog, res.errZone))) out(zi) = zoneStr
-      else return false
+          ZoneError(res.errCode, res.errCatalog, res.errZone))) {
+        // the skip rule keeps the RAW zone string (tabled for short ASCII)
+        out(zi) =
+          if (end <= lo) ""
+          else {
+            val c0 = moduleStr.charAt(lo)
+            if (end - lo == 1 && c0 < AsciiW) asciiStrings(zcode1(c0))
+            else if (end - lo == 2 && c0 < AsciiW &&
+                moduleStr.charAt(lo + 1) < AsciiW)
+              asciiStrings(zcode2(c0, moduleStr.charAt(lo + 1)))
+            else moduleStr.substring(lo, end)
+          }
+      } else return false
       index += width
       zi += 1
     }

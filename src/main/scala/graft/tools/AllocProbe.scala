@@ -62,6 +62,43 @@ object AllocProbe {
           .foreach(s => ModuleParser.parseModule(s.ordinal, s.str, ctx))
       }
     }
+    // decomposition of the hot path: where do the bytes go?
+    measure("fillRow only (0-alloc tokenize)") {
+      contentRows.foreach { case (text, lo, hi) =>
+        Tokenizer.fillRow(text, lo, hi, lo, scratch)
+      }
+    }
+    measure("fillRow + moduleStr (output strings only)") {
+      contentRows.foreach { case (text, lo, hi) =>
+        val rowLen = Tokenizer.fillRow(text, lo, hi, lo, scratch)
+        val n = Tokenizer.moduleCount(rowLen)
+        var m = 0
+        while (m < n) { Tokenizer.moduleStr(scratch, m, rowLen); m += 1 }
+      }
+    }
+    // volume calibration: modules / zones / failures per turn
+    locally {
+      var nMod = 0L; var nOk = 0L; var nFail = 0L; var nZones = 0L
+      var zoneChars = 0L
+      contentRows.foreach { case (text, lo, hi) =>
+        val rowLen = Tokenizer.fillRow(text, lo, hi, lo, scratch)
+        val n = Tokenizer.moduleCount(rowLen)
+        var m = 0
+        while (m < n) {
+          val str = Tokenizer.moduleStr(scratch, m, rowLen)
+          nMod += 1
+          if (ModuleParser.parseModuleInto(m, str, ctx, scratch.parse)) {
+            nOk += 1
+            nZones += scratch.parse.zones.length
+            scratch.parse.zones.foreach(z => if (z != null) zoneChars += z.length)
+          } else nFail += 1
+          m += 1
+        }
+      }
+      println(f"volume: ${nMod.toDouble / turns.length}%.2f modules/turn, " +
+        f"ok=${nOk.toDouble / turns.length}%.2f fail=${nFail.toDouble / turns.length}%.2f " +
+        f"zones/turn=${nZones.toDouble / turns.length}%.2f zoneChars/turn=${zoneChars.toDouble / turns.length}%.1f")
+    }
     // the REAL hot loop shape: fillRow + parseModuleInto, no wrappers
     measure("tokenize+parse (hot path)") {
       contentRows.foreach { case (text, lo, hi) =>

@@ -103,4 +103,27 @@ class CatalogsSpec extends AnyFunSuite {
       ks.foreach(k => assert(Catalogs.lookup(id, k).isDefined))
     }
   }
+
+  test("moduleTypeOrNull == rewritePrefix+startsWith reference (virtual prefix diff)") {
+    // the hot path simulates the prefix rewrite in char registers; this
+    // differential pins it to the string form over the full confusion
+    // alphabet, all lengths 0..6
+    val reference = Grammar.moduleZones.keys.toArray.sortBy(t => (-t.length, t))
+    def expected(s: String): String =
+      reference.find(Grammar.rewritePrefix(s).startsWith(_)).orNull
+    val alphabet = "8O05B1ISDXAZ_"
+    val rnd = new scala.util.Random(99)
+    var checked = 0
+    for (_ <- 0 until 4000) {
+      val s = Seq.fill(rnd.nextInt(7))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Grammar.moduleTypeOrNull(s) == expected(s), s"input '$s'")
+      checked += 1
+    }
+    // exhaustive over all 2-char strings of the alphabet (the rewrite zone)
+    for (a <- alphabet; b <- alphabet) {
+      val s = s"$a$b"
+      assert(Grammar.moduleTypeOrNull(s) == expected(s), s"input '$s'")
+    }
+    assert(Grammar.moduleTypeOrNull("") == null)
+  }
 }
