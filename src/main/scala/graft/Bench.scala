@@ -58,11 +58,44 @@ object Bench {
     (totalTurns, secs)
   }
 
+  /** Size-aware scan-split tuning: Spark's default maxSplitBytes formula
+    * (`bytesPerCore = padded / defaultParallelism`, capped at 128 MB)
+    * deliberately targets ~ONE scan task per core — fine for scan-bound
+    * jobs, but for heavy per-row work it leaves the tail wave mostly idle:
+    * measured on the scaling corpus, 256 files packed into 9 partitions at
+    * BOTH 2 and 8 pinned cores, capping the 8-core leg at ~0.73 efficiency
+    * before the extractor even ran (tools/ScanProbe). Target ~3 waves of
+    * even tasks instead. On a real cluster this is the per-job
+    * maxPartitionBytes tuning every heavy pipeline does; here it keeps the
+    * single-box scaling measurement about the ENGINE, not the split
+    * packer. */
+  def tuneScanSplits(spark: SparkSession, path: String, waves: Int = 3): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      var total = 0L
+      var nFiles = 0L
+      val stream = java.nio.file.Files.list(dir)
+      try stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet")) { total += java.nio.file.Files.size(p); nFiles += 1 }
+      } finally stream.close()
+      if (nFiles > 0) {
+        val openCost = spark.sessionState.conf.filesOpenCostInBytes
+        val padded = total + nFiles * openCost
+        val target = math.max(4L << 20,
+          padded / (spark.sparkContext.defaultParallelism.toLong * waves))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+      }
+    }
+  }
+
   /** Extraction throughput over a materialized parquet corpus — the
     * real pipeline shape (table scan → extract), used by the scaling
     * evidence so generation cost stays out of the measured job. */
-  def extractionThroughputOn(spark: SparkSession, path: String): (Long, Double) =
+  def extractionThroughputOn(spark: SparkSession, path: String): (Long, Double) = {
+    tuneScanSplits(spark, path)
     timeExtraction(graft.pipeline.ExtractPipeline.readTranscripts(spark, path))
+  }
 
   /** Compute-bound variant: extract + in-partition reduce (no per-module
     * row materialization) — isolates the extraction engine from the
@@ -71,6 +104,7 @@ object Bench {
     import graft.fixtures.TranscriptGen
     import graft.pipeline.ExtractPipeline
     import spark.implicits._
+    tuneScanSplits(spark, path)
     val turns = ExtractPipeline.readTranscripts(spark, path)
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val totalTurns = turns.count()
