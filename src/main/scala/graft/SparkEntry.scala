@@ -485,6 +485,25 @@ object SparkEntry {
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
       graft.operators.Bpe.tokenCounts(d, "doc_id", bpeText(col("text")), enc)
     }),
+    "q65_paragraph_dedup" -> ((s, dir) => {
+      // C4-style corpus-level repeated-paragraph removal (Raffel et al.
+      // 2020 §2.2). The flat synthetic docs carry no newlines, so the
+      // query synthesizes paragraph structure deterministically (10-word
+      // chunks joined by \n) and plants corpus-wide boilerplate in every
+      // 5th doc; the oracle replays the same synthesis + removal in SQL.
+      val d = load(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val nP = expr("(size(split(text, ' ')) + 9) div 10")
+      val paras = transform(sequence(lit(0), (nP - lit(1)).cast("int")),
+        i => array_join(slice(words, i * lit(10) + lit(1), lit(10)), " "))
+      val ptext = array_join(paras, "\n")
+      val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("BOILERPLATE COOKIE NOTICE ACCEPT ALL\n"), ptext))
+        .otherwise(ptext)
+      val synth = d.select(col("doc_id"), planted.as("text"))
+      graft.operators.Curation.removeRepeatedParagraphs(
+        synth, "doc_id", col("text"), sep = "\n", minCount = 3)
+    }),
     "q60_redact_pii" -> ((s, dir) => {
       // PII redaction over a corpus with deterministically planted
       // emails/phones (every 7th doc) — patterns chosen for identical
@@ -1213,6 +1232,33 @@ object SparkEntry {
          |    AS n_tokens
          |FROM steps
          |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
+
+    // q65: replay the paragraph synthesis (10-word chunks, planted
+    // boilerplate in every 5th doc), count paragraphs corpus-wide, strip
+    // the >= 3-occurrence set from every doc in original order
+    "q65_paragraph_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |synth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'BOILERPLATE COOKIE NOTICE ACCEPT ALL' || chr(10)
+        |      ELSE '' END ||
+        |    array_to_string(
+        |      [array_to_string(w[i*10+1 : i*10+10], ' ')
+        |       for i in range(0, (len(w) + 9) // 10)], chr(10)) AS text
+        |  FROM words),
+        |paras AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS p FROM synth),
+        |hot AS (
+        |  SELECT list(p) AS hp
+        |  FROM (SELECT p FROM paras GROUP BY p HAVING count(*) >= 3))
+        |SELECT s.doc_id,
+        |  array_to_string(
+        |    list_filter(string_split(s.text, chr(10)),
+        |      p -> NOT coalesce(list_contains(h.hp, p), false)),
+        |    chr(10)) AS text
+        |FROM synth s CROSS JOIN hot h""".stripMargin,
 
     // ---- near-dup verify stages over materialized candidate pairs ----------
     "q41_dedup_minhash" ->

@@ -150,4 +150,47 @@ object Curation {
       "n_emails" -> emails.cast("long"),
       "n_phones" -> phones.cast("long"))
   }
+
+  /** Corpus-level repeated-paragraph removal — the C4 preprocessing step
+    * (Raffel et al., "Exploring the Limits of Transfer Learning with a
+    * Unified Text-to-Text Transformer", JMLR 2020, §2.2: lines occurring
+    * three or more times in the dataset are deleted from every document;
+    * public method). Boilerplate (cookie banners, nav bars, license
+    * headers) is exactly the text that repeats corpus-wide.
+    *
+    * A paragraph is a `sep`-delimited segment; one occurring `minCount`+
+    * times ACROSS THE CORPUS (total occurrences, multiplicity included) is
+    * dropped from every document; documents are rebuilt in original
+    * paragraph order. Every input row survives (a fully-boilerplate doc
+    * comes back with empty text — filtering is the caller's policy call).
+    * Precondition: `idCol` unique per row.
+    *
+    * Scale shape: explode → hash-groupBy paragraph counts (map-side
+    * partial agg crushes the hot boilerplate keys — deliberately NOT a
+    * window over partitionBy(paragraph), which would funnel every copy of
+    * the hottest paragraph through one task) → anti-join against the
+    * small over-threshold set (broadcastable; AQE picks it) → per-doc
+    * rebuild bounded by document size. No all-pairs, no per-corpus state
+    * on any single task. */
+  def removeRepeatedParagraphs(docs: DataFrame, idCol: String, textCol: Column,
+      sep: String = "\n", minCount: Long = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(sep.nonEmpty, "sep must be non-empty")
+    val base = docs.select(col(idCol).as("_id"), textCol.as("_t"))
+    val paras = base.select(col("_id"),
+      posexplode(split(col("_t"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_pos", "_p")))
+    val hot = paras.groupBy(col("_p")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select(col("_p"))
+    val kept = paras.join(hot, Seq("_p"), "left_anti")
+    val rebuilt = kept.groupBy(col("_id")).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_p")))),
+          x => x.getField("_p")),
+        sep).as("_clean"))
+    base.select(col("_id"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol), coalesce(col("_clean"), lit("")).as("text"))
+  }
 }

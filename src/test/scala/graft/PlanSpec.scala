@@ -125,6 +125,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 paragraph dedup: partial-agg counts + anti-join, never a paragraph window") {
+    // the hot boilerplate paragraph is exactly the key a
+    // window-over-partitionBy(paragraph) would funnel into one task;
+    // the plan must count via map-side partial aggregation instead
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q65_paragraph_dedup")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    val p = qe.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial count"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("q55 decontamination anti-join is broadcast; q54 top-k is window-free") {
     val p55 = plan("q55_decontaminate")
     assert(p55.contains("BroadcastHashJoin") && p55.contains("LeftAnti"), p55)

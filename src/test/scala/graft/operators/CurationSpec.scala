@@ -121,6 +121,55 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("removeRepeatedParagraphs strips corpus-wide boilerplate, keeps order") {
+    import spark.implicits._
+    val boiler = "ACCEPT ALL COOKIES"
+    val docs = Seq(
+      (1L, s"$boiler\nunique one\nmiddle A"),
+      (2L, s"unique two\n$boiler\nend B"),
+      (3L, s"start C\n$boiler"),
+      (4L, boiler), // fully boilerplate -> survives as empty text
+      (5L, "twice\nunique five"),
+      (6L, "twice\nunique six") // 'twice' occurs 2x < minCount=3 -> kept
+    ).toDF("doc_id", "text")
+    val got = Curation.removeRepeatedParagraphs(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unique one\nmiddle A",
+      2L -> "unique two\nend B",
+      3L -> "start C",
+      4L -> "",
+      5L -> "twice\nunique five",
+      6L -> "twice\nunique six"))
+  }
+
+  test("removeRepeatedParagraphs == driver-side reference on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(65)
+    val vocab = Seq("aa", "bb", "cc", "dd")
+    def para() = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(6))(para()).mkString("\n")))
+    val counts = docs.flatMap(_._2.split("\n", -1)).groupBy(identity).view.mapValues(_.size)
+    val expect = docs.map { case (i, t) =>
+      i -> t.split("\n", -1).filter(p => counts(p) < 3).mkString("\n")
+    }.toMap
+    val got = Curation.removeRepeatedParagraphs(
+      docs.toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect)
+  }
+
+  test("removeRepeatedParagraphs counts total occurrences, multiplicity included") {
+    import spark.implicits._
+    // 'x' appears 3 times but in only 2 docs: total-occurrence counting
+    // (the C4 semantics) must drop it everywhere
+    val docs = Seq((1L, "x\nx\nkeep"), (2L, "x\nother")).toDF("doc_id", "text")
+    val got = Curation.removeRepeatedParagraphs(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "keep", 2L -> "other"))
+  }
+
   test("packSequences rejects nShards > 2^23 (shard term would overflow pack_id)") {
     import spark.implicits._
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
