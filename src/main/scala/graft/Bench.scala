@@ -21,8 +21,9 @@ object Bench {
     "q46_multimodal_features",
     // round-3 additions: as-of join, exact n-gram Jaccard join, range join
     "q56_asof_join", "q57_dedup_ngram_jaccard", "q58_range_join",
-    // round-4 additions: chained-as-of funnel, BPE token counting
-    "q63_funnel_asof", "q64_bpe_tokens")
+    // round-4 additions: chained-as-of funnel, BPE token counting,
+    // corpus-level paragraph dedup
+    "q63_funnel_asof", "q64_bpe_tokens", "q65_paragraph_dedup")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
