@@ -173,6 +173,27 @@ object Bench {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // State-partition sizing is the first-order knob for a stateful stream:
+    // each shuffle partition is a state-store instance paying per-batch
+    // checkpoint/maintenance cost, and the count locks in at query start.
+    // Measured on this leg (sf0.1, 4 micro-batches): 8 partitions ~10-14 s,
+    // 32 ~35 s, 64 ~44 s — the batch default (one per core) is an
+    // anti-pattern for bounded-state joins. Scope the setting to this
+    // query: streaming locks its value at start(), batch queries re-read
+    // the restored conf at their own planning.
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamingIntervalJoinTimed(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+  }
+
+  private def streamingIntervalJoinTimed(spark: SparkSession, sfDir: String): Double = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
     val rows = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("event_type"), col("ts").cast("timestamp"))
