@@ -166,23 +166,19 @@ object Bench {
     * sf dir's events table. Timed: feeding + processing to completion.
     * Driver-side collect of the events table is measurement plumbing at
     * bench scale (100k tiny rows), not a pipeline pattern. */
-  def streamingIntervalJoinLeg(spark: SparkSession, sfDir: String): Double = {
-    import java.sql.Timestamp
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.OutputMode
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // State-partition sizing is the first-order knob for a stateful stream:
-    // each shuffle partition is a state-store instance paying per-batch
-    // checkpoint/maintenance cost, and the count locks in at query start.
-    // Measured on this leg (sf0.1, 4 micro-batches): 8 partitions ~10-14 s,
-    // 32 ~35 s, 64 ~44 s — the batch default (one per core) is an
-    // anti-pattern for bounded-state joins. Scope the setting to this
-    // query: streaming locks its value at start(), batch queries re-read
-    // the restored conf at their own planning.
+  /** State-partition sizing is the first-order knob for a stateful stream:
+    * each shuffle partition is a state-store instance paying per-batch
+    * checkpoint/maintenance cost, and the count locks in at query start.
+    * Measured on this leg (sf0.1, 4 micro-batches): 8 partitions ~10-14 s,
+    * 32 ~35 s, 64 ~44 s (tools/StreamLegProbe reproduces the sweep) — the
+    * batch default (one per core) is an anti-pattern for bounded-state
+    * joins. The setting is scoped to this query: streaming locks its value
+    * at start(), batch queries re-read the restored conf at their own
+    * planning. */
+  def streamingIntervalJoinLeg(spark: SparkSession, sfDir: String,
+      stateParts: Int = 8): Double = {
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     try streamingIntervalJoinTimed(spark, sfDir)
     finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
@@ -356,7 +352,7 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum +
       math.max(extractSec, 0) + math.max(streamSec, 0)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$round,"protocol":"interleaved minima; spread = max/min of 3 lowest samples; extra rounds (cap $MaxRounds) until every spread <= $SpreadCap","recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f},"recall_pairs":{"embedding":$recallEmb%.3f},"spread_low3":$sp,"n_samples":$sc}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$round,"protocol":"interleaved minima; spread = max/min of 3 lowest samples; extra rounds (cap $MaxRounds) until every spread <= $SpreadCap and every succeeding leg has >= 3 samples","recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f},"recall_pairs":{"embedding":$recallEmb%.3f},"spread_low3":$sp,"n_samples":$sc}""")
     spark.stop()
   }
 }

@@ -189,8 +189,13 @@ object Curation {
         transform(array_sort(collect_list(struct(col("_pos"), col("_p")))),
           x => x.getField("_p")),
         sep).as("_clean"))
-    base.select(col("_id"))
+    // NULL text propagates as NULL (SQL semantics, and what the q65 DuckDB
+    // oracle's string functions do) — only a doc whose every paragraph was
+    // removed comes back as the empty string
+    base.select(col("_id"), col("_t").isNull.as("_was_null"))
       .join(rebuilt, Seq("_id"), "left")
-      .select(col("_id").as(idCol), coalesce(col("_clean"), lit("")).as("text"))
+      .select(col("_id").as(idCol),
+        when(col("_was_null"), lit(null).cast("string"))
+          .otherwise(coalesce(col("_clean"), lit(""))).as("text"))
   }
 }

@@ -5,16 +5,25 @@ package graft.tools
   * paying per-micro-batch checkpoint + maintenance cost, so partition
   * count — locked at query start — is the first-order knob. Measured
   * (sf0.1 events, 4 micro-batches): 8 partitions ~10-14 s, 32 ~35 s,
-  * 64 ~44 s. Run: java ... graft.tools.StreamLegProbe <partitions> */
+  * 64 ~44 s.
+  *
+  * Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like Bench.main.
+  * Run: java ... graft.tools.StreamLegProbe <statePartitions>
+  */
 object StreamLegProbe {
   def main(args: Array[String]): Unit = {
-    val parts = args(0)
-    val spark = graft.Bench.session("32")
+    if (args.isEmpty) {
+      System.err.println("usage: StreamLegProbe <statePartitions>")
+      sys.exit(2)
+    }
+    val parts = args(0).toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Bench.session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    val t = graft.Bench.streamingIntervalJoinLeg(spark, "/root/testdata/sf0.1")
+    val t = graft.Bench.streamingIntervalJoinLeg(spark, sfDir, stateParts = parts)
     println(f"parts=$parts secs=$t%.2f")
-    val t2 = graft.Bench.streamingIntervalJoinLeg(spark, "/root/testdata/sf0.1")
+    val t2 = graft.Bench.streamingIntervalJoinLeg(spark, sfDir, stateParts = parts)
     println(f"parts=$parts secs2=$t2%.2f")
     spark.stop()
   }

@@ -160,6 +160,17 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("removeRepeatedParagraphs: NULL text propagates as NULL, not empty") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "keep"))
+      .toDF("doc_id", "text")
+    val got = Curation.removeRepeatedParagraphs(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    // null in -> null out (distinguishable from a fully-boilerplate doc's "")
+    assert(got == Map(1L -> None, 2L -> Some("keep")))
+  }
+
   test("removeRepeatedParagraphs counts total occurrences, multiplicity included") {
     import spark.implicits._
     // 'x' appears 3 times but in only 2 docs: total-occurrence counting
