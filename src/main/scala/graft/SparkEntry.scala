@@ -485,6 +485,21 @@ object SparkEntry {
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
       graft.operators.Bpe.tokenCounts(d, "doc_id", bpeText(col("text")), enc)
     }),
+    "q66_bpe_packing" -> ((s, dir) => {
+      // the round-3 verdict's "offer real BPE to the packing tokensCol",
+      // end-to-end: q59's concat-and-slice packing budgeted by the REAL
+      // tokenizer counts of q64 (same cached merge table). The oracle
+      // composes the q64 recursive merge replay with the q59 packing SQL.
+      val d = load(s, dir, "documents")
+      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+      val counts = graft.operators.Bpe
+        .tokenCounts(d, "doc_id", bpeText(col("text")), enc)
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+      graft.operators.Curation.packSequences(
+        counts, "doc_id", col("bpe_tokens"), window = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("tok_start"), col("pack_id"), col("pack_pos"))
+    }),
     "q65_paragraph_dedup" -> ((s, dir) => {
       // C4-style corpus-level repeated-paragraph removal (Raffel et al.
       // 2020 §2.2). The flat synthetic docs carry no newlines, so the
@@ -1232,6 +1247,47 @@ object SparkEntry {
          |    AS n_tokens
          |FROM steps
          |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
+
+    // q66: q64's recursive merge replay feeding q59's packing windows —
+    // the oracle recomputes BPE counts from the materialized merges, then
+    // packs by them
+    "q66_bpe_packing" ->
+      s"""WITH RECURSIVE doc0 AS (
+         |  SELECT doc_id, coalesce(array_to_string(list_transform(
+         |      list_filter(
+         |        regexp_split_to_array(
+         |          regexp_replace(text, '[|¶]', '', 'g'), '\\s+'),
+         |        w -> length(w) > 0),
+         |      w -> '|' || array_to_string(
+         |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
+         |    '¶'), '') AS s
+         |  FROM documents),
+         |steps AS (
+         |  SELECT doc_id, s, 0 AS r FROM doc0
+         |  UNION ALL
+         |  SELECT st.doc_id,
+         |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
+         |                  '|' || m.lhs || m.rhs || '|'),
+         |    st.r + 1
+         |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r),
+         |t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
+         |      AS n_tokens
+         |  FROM steps
+         |  WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_start,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+         |      AS pack_pos
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(tok_start AS BIGINT) AS tok_start,
+         |  CAST(shard * 1099511627776 + tok_start // 512 AS BIGINT) AS pack_id,
+         |  CAST(pack_pos AS BIGINT) AS pack_pos
+         |FROM c""".stripMargin,
 
     // q65: replay the paragraph synthesis (10-word chunks, planted
     // boilerplate in every 5th doc), count paragraphs corpus-wide, strip
