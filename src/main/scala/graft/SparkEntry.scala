@@ -485,6 +485,16 @@ object SparkEntry {
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
       graft.operators.Bpe.tokenCounts(d, "doc_id", bpeText(col("text")), enc)
     }),
+    "q67_bpe_tokenize" -> ((s, dir) => {
+      // the ACTUAL subword sequences (not just counts) — what a
+      // training-data emitter writes. Token identity is oracle-checked:
+      // the q64 replay's folded string IS the token sequence ('|t1||t2|'
+      // per word, '¶' between words), so the oracle recovers it with two
+      // replaces + a trim. '§' joins tokens on both sides.
+      val d = load(s, dir, "documents")
+      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+      graft.operators.Bpe.tokenize(d, "doc_id", bpeText(col("text")), enc)
+    }),
     "q66_bpe_packing" -> ((s, dir) => {
       // the round-3 verdict's "offer real BPE to the packing tokensCol",
       // end-to-end: q59's concat-and-slice packing budgeted by the REAL
@@ -1245,6 +1255,33 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
          |    AS n_tokens
+         |FROM steps
+         |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
+
+    // q67: token IDENTITY from the q64 replay — the folded encoding is the
+    // token sequence itself; strip outer pipes, then word boundaries and
+    // token separators both become '§'
+    "q67_bpe_tokenize" ->
+      s"""WITH RECURSIVE doc0 AS (
+         |  SELECT doc_id, coalesce(array_to_string(list_transform(
+         |      list_filter(
+         |        regexp_split_to_array(
+         |          regexp_replace(text, '[|¶]', '', 'g'), '\\s+'),
+         |        w -> length(w) > 0),
+         |      w -> '|' || array_to_string(
+         |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
+         |    '¶'), '') AS s
+         |  FROM documents),
+         |steps AS (
+         |  SELECT doc_id, s, 0 AS r FROM doc0
+         |  UNION ALL
+         |  SELECT st.doc_id,
+         |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
+         |                  '|' || m.lhs || m.rhs || '|'),
+         |    st.r + 1
+         |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r)
+         |SELECT doc_id,
+         |  replace(replace(trim(s, '|'), '|¶|', '§'), '||', '§') AS tokens_str
          |FROM steps
          |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
 

@@ -167,6 +167,64 @@ object Bpe {
       for (w <- t.split("\\s+") if w.nonEmpty) n += wordTokens(w)
       n
     }
+
+    /** The actual subword sequence of one word (same fold as
+      * [[wordTokens]], returning the symbols instead of their count). */
+    def wordSubwords(w: String): Array[String] = {
+      if (w.isEmpty) return Array.empty
+      val syms = symbols(w)
+      var i = 0
+      while (i < ranked.length && syms.length > 1) {
+        applyMerge(syms, ranked(i).lhs, ranked(i).rhs)
+        i += 1
+      }
+      syms.toArray
+    }
+  }
+
+  /** Per-document SUBWORD SEQUENCES, distributed: the actual tokens (not
+    * just counts — what a training-data emitter feeds a model), joined by
+    * `sep`, word order preserved, merges never crossing word boundaries.
+    * Same broadcast-encoder + per-partition memo shape as [[tokenCounts]];
+    * the memo holds each distinct word's joined token string. `sep` must
+    * not occur inside any token (i.e. in the trained text) — the caller
+    * strips it, exactly like the oracle separators. Output:
+    * (doc_id, tokens_str). */
+  def tokenize(docs: DataFrame, idCol: String, textCol: Column,
+      enc: Encoder, sep: String = "§"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(enc)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        textCol.cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val e = bc.value
+        val memo = new java.util.HashMap[String, String](1 << 12)
+        it.map { case (id, t) =>
+          val sb = new java.lang.StringBuilder
+          if (t != null) {
+            val words = t.split("\\s+")
+            var i = 0
+            while (i < words.length) {
+              val w = words(i)
+              if (w.nonEmpty) {
+                var toks = memo.get(w)
+                if (toks == null) {
+                  if (memo.size >= (1 << 20)) memo.clear()
+                  toks = String.join(sep, e.wordSubwords(w): _*)
+                  memo.put(w, toks)
+                }
+                if (sb.length > 0) sb.append(sep)
+                sb.append(toks)
+              }
+              i += 1
+            }
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF("doc_id", "tokens_str")
   }
 
   /** Per-document token counts, distributed: broadcast encoder + a

@@ -94,6 +94,33 @@ class BpeSpec extends AnyFunSuite {
     docs.foreach { case (i, _) => assert(got(i) <= charCounts(i)) }
   }
 
+  test("tokenize emits the reference subword sequences; counts agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val docs = (0L until 60L).map { i =>
+      val text = Seq.fill(rnd.nextInt(20))(
+        Seq.fill(1 + rnd.nextInt(7))("abcd" (rnd.nextInt(4))).mkString).mkString(" ")
+      (i, text)
+    }
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val merges = Bpe.train(df, "doc_id", col("text"), nMerges = 25)
+    val enc = new Bpe.Encoder(merges)
+    val got = Bpe.tokenize(df, "doc_id", col("text"), enc)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = merges.map(m => (m.lhs, m.rhs))
+    docs.foreach { case (i, t) =>
+      val exp = t.split("\\s+").filter(_.nonEmpty)
+        .flatMap { w =>
+          val chars = w.codePoints().toArray.toList.map(Character.toString)
+          pairs.foldLeft(chars) { case (s, (a, b)) => onePass(s, a, b) }
+        }.mkString("§")
+      assert(got(i) == exp, s"doc $i")
+      // token-count parity with tokenCounts' semantics
+      val nToks = if (got(i).isEmpty) 0 else got(i).split("§", -1).length
+      assert(nToks == refTextTokens(t, pairs), s"doc $i count")
+    }
+  }
+
   test("unicode: symbols are code points (astral chars count as one)") {
     val enc = new Bpe.Encoder(IndexedSeq.empty)
     assert(enc.wordTokens("héllo") == 5)
