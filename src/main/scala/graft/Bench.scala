@@ -65,13 +65,19 @@ object Bench {
     * jobs, but for heavy per-row work it leaves the tail wave mostly idle:
     * measured on the scaling corpus, 256 files packed into 9 partitions at
     * BOTH 2 and 8 pinned cores, capping the 8-core leg at ~0.73 efficiency
-    * before the extractor even ran (tools/ScanProbe). Target ~3 waves of
-    * even tasks instead. On a real cluster this is the per-job
-    * maxPartitionBytes tuning every heavy pipeline does; here it keeps the
-    * single-box scaling measurement about the ENGINE, not the split
-    * packer. */
-  def tuneScanSplits(spark: SparkSession, path: String, waves: Int = 3): Unit = {
+    * before the extractor even ran (tools/ScanProbe). This runs `body`
+    * with `spark.sql.files.maxPartitionBytes` sized from the corpus
+    * listing to ~`waves` even task waves per core count, restoring the
+    * previous value afterwards — SCOPED, so interleaved bench queries keep
+    * planning against the session default (a persistent set would silently
+    * change every later query's scan splits; the conf is read at each
+    * query's own planning time, so set-around-action is exact). On a real
+    * cluster this is the per-job maxPartitionBytes tuning every heavy
+    * pipeline applies. */
+  def withTunedScanSplits[A](spark: SparkSession, path: String,
+      waves: Int = 3)(body: => A): A = {
     val dir = java.nio.file.Paths.get(path)
+    var target: Option[String] = None
     if (java.nio.file.Files.isDirectory(dir)) {
       var total = 0L
       var nFiles = 0L
@@ -83,29 +89,38 @@ object Bench {
       if (nFiles > 0) {
         val openCost = spark.sessionState.conf.filesOpenCostInBytes
         val padded = total + nFiles * openCost
-        val target = math.max(4L << 20,
-          padded / (spark.sparkContext.defaultParallelism.toLong * waves))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+        target = Some(math.max(4L << 20,
+          padded / (spark.sparkContext.defaultParallelism.toLong * waves)).toString)
       }
+    }
+    target match {
+      case None => body
+      case Some(v) =>
+        val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        try body
+        finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     }
   }
 
   /** Extraction throughput over a materialized parquet corpus — the
     * real pipeline shape (table scan → extract), used by the scaling
     * evidence so generation cost stays out of the measured job. */
-  def extractionThroughputOn(spark: SparkSession, path: String): (Long, Double) = {
-    tuneScanSplits(spark, path)
-    timeExtraction(graft.pipeline.ExtractPipeline.readTranscripts(spark, path))
-  }
+  def extractionThroughputOn(spark: SparkSession, path: String): (Long, Double) =
+    withTunedScanSplits(spark, path) {
+      timeExtraction(graft.pipeline.ExtractPipeline.readTranscripts(spark, path))
+    }
 
   /** Compute-bound variant: extract + in-partition reduce (no per-module
     * row materialization) — isolates the extraction engine from the
     * result-serialization cost for the scaling measurement. */
-  def extractionThroughputLightOn(spark: SparkSession, path: String): (Long, Double) = {
+  def extractionThroughputLightOn(spark: SparkSession, path: String): (Long, Double) =
+    withTunedScanSplits(spark, path) { extractionLightBody(spark, path) }
+
+  private def extractionLightBody(spark: SparkSession, path: String): (Long, Double) = {
     import graft.fixtures.TranscriptGen
     import graft.pipeline.ExtractPipeline
     import spark.implicits._
-    tuneScanSplits(spark, path)
     val turns = ExtractPipeline.readTranscripts(spark, path)
     val ctx = ExtractPipeline.makeContext(TranscriptGen.allEntityIds)
     val totalTurns = turns.count()
