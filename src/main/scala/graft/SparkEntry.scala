@@ -694,11 +694,38 @@ object SparkEntry {
     })
   )
 
-  /** Oracle-separator strip for the q64 BPE check: '|' and '¶' are the
-    * DuckDB oracle's token/word boundary characters, so the query trains
-    * and counts over text without them — identically on both sides. */
+  /** Oracle-separator strip for the BPE query family: '|' and '¶' are the
+    * DuckDB oracle's token/word boundary characters and '§' is q67's
+    * emitted token separator, so the queries train, count, and tokenize
+    * over text without any of them — identically on both sides (q67's
+    * output would otherwise be ambiguous for text containing '§', and
+    * silently so: both engines would degrade the same way). */
   private def bpeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(c, "[|¶]", "")
+    regexp_replace(c, "[|¶§]", "")
+
+  /** The shared recursive merge-replay prefix of the q64/q66/q67 oracles
+    * (doc0 = '|tok|'-encoded sanitized text, steps = one non-overlapping
+    * replace per ranked merge) — ONE definition so the three oracles
+    * cannot drift apart. */
+  private def bpeReplayCtes: String =
+    s"""WITH RECURSIVE doc0 AS (
+       |  SELECT doc_id, coalesce(array_to_string(list_transform(
+       |      list_filter(
+       |        regexp_split_to_array(
+       |          regexp_replace(text, '[|¶§]', '', 'g'), '\\s+'),
+       |        w -> length(w) > 0),
+       |      w -> '|' || array_to_string(
+       |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
+       |    '¶'), '') AS s
+       |  FROM documents),
+       |steps AS (
+       |  SELECT doc_id, s, 0 AS r FROM doc0
+       |  UNION ALL
+       |  SELECT st.doc_id,
+       |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
+       |                  '|' || m.lhs || m.rhs || '|'),
+       |    st.r + 1
+       |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r)""".stripMargin
 
   /** Trained BPE merge table, SINGLE-SLOT cached per (session, sfDir) —
     * the skipRuleOutcome pattern — so the q64 query and the `bpe_merges`
@@ -1234,24 +1261,7 @@ object SparkEntry {
     // semantics is exactly the engine's one-greedy-pass-per-rank applier
     // (fuzz-pinned); n_tokens = pipes / 2. Both sides strip '|'/'¶' first.
     "q64_bpe_tokens" ->
-      s"""WITH RECURSIVE doc0 AS (
-         |  SELECT doc_id, coalesce(array_to_string(list_transform(
-         |      list_filter(
-         |        regexp_split_to_array(
-         |          regexp_replace(text, '[|¶]', '', 'g'), '\\s+'),
-         |        w -> length(w) > 0),
-         |      w -> '|' || array_to_string(
-         |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
-         |    '¶'), '') AS s
-         |  FROM documents),
-         |steps AS (
-         |  SELECT doc_id, s, 0 AS r FROM doc0
-         |  UNION ALL
-         |  SELECT st.doc_id,
-         |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
-         |                  '|' || m.lhs || m.rhs || '|'),
-         |    st.r + 1
-         |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r)
+      s"""$bpeReplayCtes
          |SELECT doc_id,
          |  CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
          |    AS n_tokens
@@ -1262,24 +1272,7 @@ object SparkEntry {
     // token sequence itself; strip outer pipes, then word boundaries and
     // token separators both become '§'
     "q67_bpe_tokenize" ->
-      s"""WITH RECURSIVE doc0 AS (
-         |  SELECT doc_id, coalesce(array_to_string(list_transform(
-         |      list_filter(
-         |        regexp_split_to_array(
-         |          regexp_replace(text, '[|¶]', '', 'g'), '\\s+'),
-         |        w -> length(w) > 0),
-         |      w -> '|' || array_to_string(
-         |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
-         |    '¶'), '') AS s
-         |  FROM documents),
-         |steps AS (
-         |  SELECT doc_id, s, 0 AS r FROM doc0
-         |  UNION ALL
-         |  SELECT st.doc_id,
-         |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
-         |                  '|' || m.lhs || m.rhs || '|'),
-         |    st.r + 1
-         |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r)
+      s"""$bpeReplayCtes
          |SELECT doc_id,
          |  replace(replace(trim(s, '|'), '|¶|', '§'), '||', '§') AS tokens_str
          |FROM steps
@@ -1289,24 +1282,7 @@ object SparkEntry {
     // the oracle recomputes BPE counts from the materialized merges, then
     // packs by them
     "q66_bpe_packing" ->
-      s"""WITH RECURSIVE doc0 AS (
-         |  SELECT doc_id, coalesce(array_to_string(list_transform(
-         |      list_filter(
-         |        regexp_split_to_array(
-         |          regexp_replace(text, '[|¶]', '', 'g'), '\\s+'),
-         |        w -> length(w) > 0),
-         |      w -> '|' || array_to_string(
-         |        [w[i] for i in range(1, length(w)+1)], '||') || '|'),
-         |    '¶'), '') AS s
-         |  FROM documents),
-         |steps AS (
-         |  SELECT doc_id, s, 0 AS r FROM doc0
-         |  UNION ALL
-         |  SELECT st.doc_id,
-         |    replace(st.s, '|' || m.lhs || '||' || m.rhs || '|',
-         |                  '|' || m.lhs || m.rhs || '|'),
-         |    st.r + 1
-         |  FROM steps st JOIN ${t("bpe_merges")} m ON m.merge_rank = st.r),
+      s"""$bpeReplayCtes,
          |t AS (
          |  SELECT doc_id, doc_id % 8 AS shard,
          |    CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)

@@ -148,17 +148,21 @@ object Bpe {
   final class Encoder(val merges: IndexedSeq[Merge]) extends Serializable {
     private val ranked: Array[Merge] = merges.sortBy(_.merge_rank).toArray
 
-    /** Token count of one whitespace-free word. */
-    def wordTokens(w: String): Int = {
-      if (w.isEmpty) return 0
+    /** The ONE merge fold both count and sequence derive from — a fix
+      * applied here (e.g. the length>1 early exit) cannot diverge them. */
+    private def foldMerges(w: String): mutable.ArrayBuffer[String] = {
       val syms = symbols(w)
       var i = 0
       while (i < ranked.length && syms.length > 1) {
         applyMerge(syms, ranked(i).lhs, ranked(i).rhs)
         i += 1
       }
-      syms.length
+      syms
     }
+
+    /** Token count of one whitespace-free word. */
+    def wordTokens(w: String): Int =
+      if (w.isEmpty) 0 else foldMerges(w).length
 
     /** Token count of a whole text: whitespace words, summed. */
     def textTokens(t: String): Long = {
@@ -170,16 +174,8 @@ object Bpe {
 
     /** The actual subword sequence of one word (same fold as
       * [[wordTokens]], returning the symbols instead of their count). */
-    def wordSubwords(w: String): Array[String] = {
-      if (w.isEmpty) return Array.empty
-      val syms = symbols(w)
-      var i = 0
-      while (i < ranked.length && syms.length > 1) {
-        applyMerge(syms, ranked(i).lhs, ranked(i).rhs)
-        i += 1
-      }
-      syms.toArray
-    }
+    def wordSubwords(w: String): Array[String] =
+      if (w.isEmpty) Array.empty else foldMerges(w).toArray
   }
 
   /** Per-document SUBWORD SEQUENCES, distributed: the actual tokens (not
