@@ -485,6 +485,29 @@ object SparkEntry {
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
       graft.operators.Bpe.tokenCounts(d, "doc_id", bpeText(col("text")), enc)
     }),
+    "q68_ngram_decontaminate" -> ((s, dir) => {
+      // GPT-3-style n-gram decontamination: a candidate doc dies if it
+      // shares ANY 13-gram with the (deterministically chosen) eval
+      // split. The synthetic corpus's random word streams never collide
+      // at 13 words, so contamination is PLANTED: a fixed 13-word phrase
+      // appended to every 9th doc and to eval docs divisible by 3 —
+      // partial contamination the q55 whole-doc fingerprint would miss.
+      val phrase = " zq alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val isEval = substring(
+        md5(concat(lit("s68|"), col("doc_id").cast("string"))), 1, 1) === "0"
+      val planted = d.select(col("doc_id"), col("lang"), col("source"),
+        isEval.as("_is_eval"),
+        when(pmod(col("doc_id"), lit(9)) === 0 ||
+            (isEval && pmod(col("doc_id"), lit(3)) === 0),
+          concat(col("text"), lit(phrase))).otherwise(col("text")).as("text"))
+      graft.operators.Sampling.decontaminateNgrams(
+        planted.filter(!col("_is_eval")).drop("_is_eval"),
+        "doc_id", "text",
+        planted.filter(col("_is_eval")), "text", n = 13)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "q67_bpe_tokenize" -> ((s, dir) => {
       // the ACTUAL subword sequences (not just counts) — what a
       // training-data emitter writes. Token identity is oracle-checked:
@@ -1267,6 +1290,32 @@ object SparkEntry {
          |    AS n_tokens
          |FROM steps
          |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
+
+    // q68: replay the planted contamination + the 13-gram overlap check
+    "q68_ngram_decontaminate" ->
+      """WITH d0 AS (SELECT doc_id, lang, source, text,
+        |    substr(md5('s68|' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |      AS is_eval
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang, source, is_eval,
+        |    CASE WHEN doc_id % 9 = 0 OR (is_eval AND doc_id % 3 = 0)
+        |      THEN text ||
+        |        ' zq alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        |      ELSE text END AS text
+        |  FROM d0),
+        |w AS (SELECT doc_id, lang, source, is_eval,
+        |    regexp_split_to_array(trim(text), '\s+') AS words FROM d),
+        |g AS (SELECT doc_id, lang, source, is_eval,
+        |    CASE WHEN len(words) >= 13 THEN
+        |      list_distinct([array_to_string(words[i:i+12], ' ')
+        |                     for i in range(1, len(words) - 11)])
+        |    ELSE [array_to_string(words, ' ')] END AS gs
+        |  FROM w),
+        |eg AS (SELECT list(DISTINCT gr) AS egs
+        |       FROM (SELECT unnest(gs) AS gr FROM g WHERE is_eval))
+        |SELECT doc_id, lang, source FROM g CROSS JOIN eg
+        |WHERE NOT is_eval
+        |  AND NOT coalesce(list_has_any(gs, egs), false)""".stripMargin,
 
     // q67: token IDENTITY from the q64 replay — the folded encoding is the
     // token sequence itself; strip outer pipes, then word boundaries and

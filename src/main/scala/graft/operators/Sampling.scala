@@ -51,4 +51,47 @@ object Sampling {
       fpCol: String): DataFrame =
     candidates.join(
       broadcast(evalDocs.select(col(fpCol)).distinct()), Seq(fpCol), "left_anti")
+
+  /** N-gram-overlap decontamination — the GPT-3 appendix-C / public-recipe
+    * form: a candidate document is dropped if it shares ANY word n-gram
+    * with the eval set (documents shorter than n words contribute their
+    * whole text as the single "gram" — exact-match semantics for short
+    * docs, same as the fingerprint shingles). Stricter than the
+    * fingerprint collision of [[decontaminate]]: partial contamination
+    * (one leaked paragraph) kills the doc even when the fingerprint — a
+    * min-hash of the WHOLE doc — differs.
+    *
+    * Scale shape: distinct eval n-grams are the blocklist — tiny relative
+    * to the corpus (the eval set is, by definition, small) — broadcast
+    * into a semi-join against the candidate gram stream (typed one-pass
+    * kernel, the HashCore shingle discipline: no projected-array explode
+    * re-evaluation); candidates with a hit collapse by id via partial-agg
+    * distinct, then a broadcast anti-join removes them. The candidate side
+    * never shuffles its text. Returns the surviving candidate rows
+    * unchanged. `idCol` must be integral and unique. */
+  def decontaminateNgrams(candidates: DataFrame, idCol: String,
+      textCol: String, evalDocs: DataFrame, evalTextCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val evalGrams = evalDocs
+      .select(col(evalTextCol).cast("string").as("t")).as[String]
+      .flatMap(t => HashCore.shingleStrings(if (t == null) "" else t, n))
+      .distinct()
+      .toDF("gram")
+    val candGrams = candidates
+      .select(col(idCol).cast("long").as("_id"),
+        col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        HashCore.shingleStrings(if (t == null) "" else t, n).map(g => (id, g))
+      }
+      .toDF("_id", "gram")
+    val contaminated = candGrams
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("_id")).distinct()
+    candidates.join(broadcast(contaminated),
+      col(idCol) === contaminated("_id"), "left_anti")
+  }
 }

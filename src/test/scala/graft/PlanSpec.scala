@@ -137,6 +137,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("q68 n-gram decontamination: both joins broadcast, candidate side never shuffles") {
+    val p = plan("q68_ngram_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q55 decontamination anti-join is broadcast; q54 top-k is window-free") {
     val p55 = plan("q55_decontaminate")
     assert(p55.contains("BroadcastHashJoin") && p55.contains("LeftAnti"), p55)

@@ -61,4 +61,59 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(out.toSeq == Seq(1L, 3L))
   }
+
+  test("decontaminateNgrams: any shared n-gram kills the candidate") {
+    import spark.implicits._
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight"
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val cands = Seq(
+      // contains the eval 4-gram "brown fox jumps over" mid-document
+      (1L, "intro words here brown fox jumps over and more trailing text"),
+      // no 4-gram overlap (words overlap, windows never align)
+      (2L, "fox brown the quick dog lazy jumps tonight over the"),
+      // clean
+      (3L, "completely unrelated content with zero shared windows at all"))
+      .toDF("doc_id", "text")
+    val out = Sampling.decontaminateNgrams(cands, "doc_id", "text",
+      eval, "text", n = 4)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("decontaminateNgrams: short docs (< n words) use exact-text semantics") {
+    import spark.implicits._
+    val eval = Seq((100L, "short secret")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "short secret"), // exact match -> dropped
+      (2L, "short secret plus"), // 3 words < n=13 -> whole-text gram differs
+      (3L, "other tiny doc")).toDF("doc_id", "text")
+    val out = Sampling.decontaminateNgrams(cands, "doc_id", "text",
+      eval, "text", n = 13)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("decontaminateNgrams == driver-side reference on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(68)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def doc() = Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(5))).mkString(" ")
+    val evalDocs = (100L until 110L).map(i => (i, doc()))
+    val cands = (0L until 120L).map(i => (i, doc()))
+    def grams(t: String, n: Int): Set[String] = {
+      val ws = t.trim.split("\\s+")
+      if (ws.length < n) Set(ws.mkString(" "))
+      else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val n = 5 // tiny vocab -> real chance collisions at 5-grams
+    val evalSet = evalDocs.flatMap(d => grams(d._2, n)).toSet
+    val expect = cands.filter(d => grams(d._2, n).intersect(evalSet).isEmpty)
+      .map(_._1).sorted
+    val out = Sampling.decontaminateNgrams(
+      cands.toDF("doc_id", "text"), "doc_id", "text",
+      evalDocs.toDF("doc_id", "text"), "text", n = n)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == expect)
+    assert(expect.length < cands.length, "fixture vacuous: no collisions")
+  }
 }
