@@ -22,8 +22,9 @@ object Bench {
     // round-3 additions: as-of join, exact n-gram Jaccard join, range join
     "q56_asof_join", "q57_dedup_ngram_jaccard", "q58_range_join",
     // round-4 additions: chained-as-of funnel, BPE token counting,
-    // corpus-level paragraph dedup
-    "q63_funnel_asof", "q64_bpe_tokens", "q65_paragraph_dedup")
+    // corpus-level paragraph dedup, n-gram decontamination
+    "q63_funnel_asof", "q64_bpe_tokens", "q65_paragraph_dedup",
+    "q68_ngram_decontaminate")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
