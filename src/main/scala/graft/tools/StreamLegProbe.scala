@@ -8,18 +8,21 @@ package graft.tools
   * 64 ~44 s.
   *
   * Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like Bench.main.
-  * Run: java ... graft.tools.StreamLegProbe <statePartitions>
+  * Run: java ... graft.tools.StreamLegProbe <statePartitions> [rocksdb]
   */
 object StreamLegProbe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: StreamLegProbe <statePartitions>")
+      System.err.println("usage: StreamLegProbe <statePartitions> [rocksdb]")
       sys.exit(2)
     }
     val parts = args(0).toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.session(cpus)
+    if (args.length > 1 && args(1) == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.sparkContext.setLogLevel("ERROR")
     val t = graft.Bench.streamingIntervalJoinLeg(spark, sfDir, stateParts = parts)
     println(f"parts=$parts secs=$t%.2f")
