@@ -225,8 +225,11 @@ object Bench {
       .outputMode(OutputMode.Append).start()
     try {
       val nb = 4
-      val pb = points.grouped((points.length + nb - 1) / nb).toArray
-      val ib = intervals.grouped((intervals.length + nb - 1) / nb).toArray
+      // max(1, ...): grouped(0) throws on an empty events table — an empty
+      // input should measure an empty run, not crash (StreamLegProbe calls
+      // this unguarded).
+      val pb = points.grouped(math.max(1, (points.length + nb - 1) / nb)).toArray
+      val ib = intervals.grouped(math.max(1, (intervals.length + nb - 1) / nb)).toArray
       val t0 = System.nanoTime()
       var i = 0
       while (i < nb) {

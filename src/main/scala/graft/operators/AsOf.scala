@@ -30,6 +30,66 @@ import org.apache.spark.sql.types._
   */
 object AsOf {
 
+  /** Auto-size [[asofJoinBucketed]]'s `bucketWidth` from measured per-key
+    * density — the Dedup.ngramStrategyFor discipline (decide physical
+    * parameters from bounded stats, not folklore). Any width is CORRECT;
+    * this picks one that bounds the densest (key, bucket) cell near
+    * `targetRowsPerCell` rows:
+    *
+    *  - per-key (rows, min ts, max ts) via partial-agg groupBy, then the
+    *    `topKeys` DENSEST keys by row count (TakeOrdered — bounded on the
+    *    driver by construction). Top-by-count, not a random key sample: the
+    *    mega-key IS the tail this operator defends against, and a uniform
+    *    sample of keys would miss it.
+    *  - densest rows-per-time-unit over keys whose span is positive (a key
+    *    whose every row shares one timestamp lands in one cell at ANY
+    *    width — no width defends it, so it casts no vote);
+    *  - width = targetRowsPerCell / maxDensity, clamped to [1, span of the
+    *    densest key] so buckets neither degenerate to per-row cells nor
+    *    exceed the history they're splitting.
+    *
+    * Returns `default` when the right side is empty or zero-span. Units
+    * match [[asofJoinBucketed]]: microseconds for timestamp columns, the
+    * column's own units for integral columns. Cost: one partial-agg
+    * aggregation job over the right side — run it once per table shape,
+    * not per query, if the extra action matters. */
+  def autoBucketWidth(right: DataFrame, key: String, rightTs: String,
+      targetRowsPerCell: Long = 65536, topKeys: Int = 64,
+      default: Long = 86400L * 1000000L): Long = {
+    require(targetRowsPerCell >= 1, "targetRowsPerCell must be >= 1")
+    require(topKeys >= 1, "topKeys must be >= 1")
+    val tsCol = right.schema(rightTs).dataType match {
+      case TimestampType | TimestampNTZType | DateType =>
+        unix_micros(col(rightTs).cast("timestamp"))
+      case LongType | IntegerType | ShortType | ByteType =>
+        col(rightTs).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"autoBucketWidth needs a timestamp or integral ts column, got $other")
+    }
+    val stats = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("_k"), tsCol.as("_t"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"), min(col("_t")).as("_lo"),
+        max(col("_t")).as("_hi"))
+      .orderBy(desc("_n"), asc("_k"))
+      .limit(topKeys)
+      .select(col("_n"), col("_lo"), col("_hi"))
+      .collect()
+    var bestDensity = 0.0
+    var bestSpan = 0L
+    for (r <- stats) {
+      val span = r.getLong(2) - r.getLong(1)
+      if (span > 0L) {
+        val d = r.getLong(0).toDouble / span
+        if (d > bestDensity) { bestDensity = d; bestSpan = span }
+      }
+    }
+    if (bestDensity <= 0.0) default
+    else math.max(1L,
+      math.min(bestSpan, (targetRowsPerCell / bestDensity).toLong))
+  }
+
   /** `left` as-of `right` on key/ts columns; returns every left column
     * plus a nullable `asof` struct holding the matched right row.
     *

@@ -183,7 +183,14 @@ object Curation {
     val hot = paras.groupBy(col("_p")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
       .select(col("_p"))
-    val kept = paras.join(hot, Seq("_p"), "left_anti")
+    // EXPLICIT broadcast of the hot set: without it the anti-join shuffles
+    // full paragraph text keyed BY paragraph — and a corpus-dominating
+    // boilerplate paragraph is simultaneously the hottest join key, i.e.
+    // the skew lands exactly on the rows we're trying to drop. The hot set
+    // is bounded by totalParas/minCount and in practice is the handful of
+    // boilerplate strings; broadcasting it keeps the row-scaled side
+    // shuffle-free here (the rebuild's groupBy(_id) is the one shuffle).
+    val kept = paras.join(broadcast(hot), Seq("_p"), "left_anti")
     val rebuilt = kept.groupBy(col("_id")).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("_pos"), col("_p")))),

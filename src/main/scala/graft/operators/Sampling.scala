@@ -91,7 +91,13 @@ object Sampling {
     val contaminated = candGrams
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col("_id")).distinct()
-    candidates.join(broadcast(contaminated),
+    // NO broadcast hint on the contaminated-id set: its size is
+    // data-shaped (a heavily contaminated corpus makes it row-scaled, and
+    // a forced broadcast would be a driver OOM instead of a graceful
+    // shuffle anti-join). Rare contamination — the design case — is a
+    // few-KB relation AQE broadcasts at runtime anyway; the hint bought
+    // nothing but the cliff.
+    candidates.join(contaminated,
       col(idCol) === contaminated("_id"), "left_anti")
   }
 }

@@ -160,6 +160,16 @@ object SnapshotLogIO extends TableIO {
         throw new CommitConflictException(
           s"snapshot v$v already committed by a concurrent writer; " +
             "refresh and retry")
+      case e: UnsupportedOperationException =>
+        // Some network/object-store mounts don't support hard links; name
+        // the requirement instead of surfacing a bare UOE per commit.
+        Files.deleteIfExists(tmp)
+        throw new UnsupportedOperationException(
+          "SnapshotLogIO commit requires hard-link support (atomic-" +
+            "exclusive Files.createLink) on the metadata filesystem; " +
+            s"'${metaDir(outDir)}' does not provide it. Host the snapshot " +
+            "log on a POSIX filesystem, or swap the commit primitive for " +
+            "a catalog CAS (see ICEBERG.md)", e)
     }
     // flip the pointer last, atomically — a pure optimization for readers:
     // the version-file rename above was the real commit point

@@ -137,11 +137,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
-  test("q68 n-gram decontamination: both joins broadcast, candidate side never shuffles") {
-    val p = plan("q68_ngram_decontaminate")
+  test("q68 n-gram decontamination: gram semi-join broadcast; anti-join " +
+    "broadcast AT RUNTIME via AQE (the hint is gone — a huge contaminated " +
+    "set must degrade to a shuffle, not a driver OOM)") {
+    val df = SparkEntry.queries("q68_ngram_decontaminate")(spark, sf)
+    df.collect() // finalize AQE stages so the runtime join choice is visible
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1500))
+    // rare contamination (the design case): AQE replans the anti-join as
+    // broadcast once the tiny contaminated-id stage materializes
     assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q65 paragraph dedup: hot-set anti-join is an EXPLICIT broadcast " +
+    "(the hottest paragraph is the hottest join key — shuffling text by " +
+    "paragraph would land the skew on the boilerplate rows)") {
+    val p = plan("q65_paragraph_dedup")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("q55 decontamination anti-join is broadcast; q54 top-k is window-free") {

@@ -164,4 +164,60 @@ class AsOfSpec extends AnyFunSuite {
           s"raw-stream window is not bucket-partitioned: $w")
     }
   }
+
+  test("autoBucketWidth: density-derived width, correct on uniform AND " +
+    "mega-key fixtures, sized near the target cell bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(405)
+
+    // uniform fixture: 6 keys, ~100 rows each over span 10000
+    val uniR = (0 until 600).map { i =>
+      val k = (i % 6).toLong
+      (k, rnd.nextInt(10000).toLong, i.toLong)
+    }
+    // mega-key fixture: key 0 owns 90% of rows, same span
+    val megaR = (0 until 1000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(5)
+      (k, rnd.nextInt(10000).toLong, i.toLong)
+    }
+    val lefts = Seq.fill(300)(
+      (rnd.nextInt(6).toLong, rnd.nextInt(10000).toLong, rnd.nextLong()))
+    val l = lefts.toDF("k", "lts", "lid").repartition(5)
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("lts"), col("lid"), col("asof.rid").as("rid"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        if (row.isNullAt(3)) None else Some(row.getLong(3))))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+    for ((rows, tag) <- Seq((uniR, "uniform"), (megaR, "mega"))) {
+      val r = rows.toDF("k", "rts", "rid").repartition(7)
+      val target = 100L
+      val w = AsOf.autoBucketWidth(r, "k", "rts", targetRowsPerCell = target)
+      // sized from the densest key: its expected rows per width-w cell
+      // lands within a small factor of the target (density estimate is
+      // span-uniform, so exactness isn't promised — boundedness is)
+      val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2))
+      val dMax = byKey.values.map { ts =>
+        ts.size.toDouble / math.max(1L, ts.max - ts.min)
+      }.max
+      val expCell = dMax * w
+      assert(w >= 1L, s"$tag: width $w")
+      assert(expCell <= target * 2 && expCell >= target / 4,
+        s"$tag: densest-cell estimate $expCell vs target $target (width $w)")
+      // any width must be CORRECT: differential vs the plain as-of
+      val plain = norm(AsOf.asofJoin(l, r, "k", "lts", "rts"))
+      val auto = norm(AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", w))
+      val fixed = norm(AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", 1000L))
+      assert(auto == plain, s"$tag: auto width $w diverged")
+      assert(fixed == plain, s"$tag: fixed width diverged")
+    }
+
+    // degenerate shapes fall back to the default width
+    val zeroSpan = Seq((1L, 5L, 1L), (1L, 5L, 2L)).toDF("k", "rts", "rid")
+    assert(AsOf.autoBucketWidth(zeroSpan, "k", "rts", default = 123L) == 123L)
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "rts", "rid")
+    assert(AsOf.autoBucketWidth(empty, "k", "rts", default = 77L) == 77L)
+  }
 }

@@ -129,6 +129,73 @@ class BpeSpec extends AnyFunSuite {
     assert(learned.head.lhs == "😀" && learned.head.rhs == "😀")
   }
 
+  // ---- incremental trainer (round-5): differential vs naive + the
+  // ---- production-vocabulary demo ------------------------------------
+
+  /** Deterministic rich-vocab corpus: syllable-composed words with Zipfian
+    * counts — enough shared substructure that thousands of count>=2 merges
+    * exist (the synthetic documents table has only 31 distinct words, so
+    * the production-scale trainer demo needs its own corpus). */
+  private def synthCorpus(nWords: Int, zipfN: Long): Seq[(String, Long)] = {
+    val syll = Vector("ka", "ro", "mi", "ta", "shu", "en", "lo", "pre",
+      "ver", "un", "ci", "ba", "do", "ne", "gra", "pos", "ti", "al", "mer",
+      "su", "fi", "ler", "om", "ex", "qu", "an", "ke", "ur", "vo", "ze",
+      "ist", "ach", "ond", "ria", "pla", "tum", "sco", "bel", "dra", "wix")
+    (0 until nWords).map { i =>
+      var h = (i * 2654435761L) ^ 0x9e3779b97f4a7c15L
+      def next(n: Int): Int = { h = h * 6364136223846793005L + 1442695040888963407L; (((h >>> 33) % n).toInt + n) % n }
+      val k = 2 + next(4) // 2..5 syllables
+      val w = (0 until k).map(_ => syll(next(syll.length))).mkString
+      (w, math.max(1L, zipfN / (i + 1)))
+    }.distinct
+  }
+
+  test("incremental trainer is bit-identical to naive on randomized corpora") {
+    val rnd = new scala.util.Random(1905)
+    for (trial <- 0 until 15) {
+      val alpha = "abcde".take(2 + rnd.nextInt(4))
+      val corpus = (0 until 30 + rnd.nextInt(120)).map { _ =>
+        val w = Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString
+        (w, 1L + rnd.nextInt(20).toLong)
+      }
+      val n = rnd.nextInt(60)
+      val (naive, _) = Bpe.trainFromCountsNaive(corpus, n)
+      val (inc, _) = Bpe.trainFromCountsIncremental(corpus, n)
+      assert(inc == naive, s"trial $trial nMerges=$n")
+    }
+  }
+
+  test("incremental trainer: nMerges=2000, bit-identical, >=50x fewer " +
+    "pair-count updates than the naive recount (timed)") {
+    val corpus = synthCorpus(nWords = 4000, zipfN = 100000L)
+    val t0 = System.nanoTime()
+    val (inc, sInc) = Bpe.trainFromCountsIncremental(corpus, 2000)
+    val tInc = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (naive, sNaive) = Bpe.trainFromCountsNaive(corpus, 2000)
+    val tNaive = (System.nanoTime() - t1) / 1e9
+    assert(inc == naive, "merge tables diverged")
+    assert(inc.length == 2000,
+      s"corpus too poor: only ${inc.length} count>=2 merges reachable")
+    val ratio = sNaive.pairUpdates.toDouble / sInc.pairUpdates
+    info(f"updates: naive=${sNaive.pairUpdates}%,d incremental=" +
+      f"${sInc.pairUpdates}%,d ratio=$ratio%.1fx; wall: naive=$tNaive%.2fs " +
+      f"incremental=$tInc%.2fs")
+    assert(ratio >= 50.0, f"update ratio $ratio%.1f < 50x")
+  }
+
+  test("tokenize rejects words containing the separator instead of " +
+    "emitting ambiguous output") {
+    import spark.implicits._
+    val df = Seq((1L, "ok a§b")).toDF("doc_id", "text")
+    val enc = new Bpe.Encoder(IndexedSeq.empty)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Bpe.tokenize(df, "doc_id", col("text"), enc).collect()
+    }
+    assert(ex.getMessage.contains("separator") ||
+      Option(ex.getCause).exists(_.getMessage.contains("separator")))
+  }
+
   test("empty/null/whitespace texts count zero tokens") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),

@@ -181,6 +181,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "keep", 2L -> "other"))
   }
 
+  test("removeRepeatedParagraphs skew: one paragraph in 50% of docs is " +
+    "removed everywhere, uniques untouched") {
+    // the adversarial shape behind the explicit broadcast(hot): the
+    // hottest paragraph IS the hottest join key, so a non-broadcast
+    // anti-join would funnel half the corpus's text through one task
+    import spark.implicits._
+    val boiler = "SUBSCRIBE TO OUR NEWSLETTER " + ("x" * 200)
+    val docs = (0L until 2000L).map { i =>
+      if (i % 2 == 0L) (i, s"unique head $i\n$boiler\nunique tail $i")
+      else (i, s"unique only $i")
+    }.toDF("doc_id", "text").repartition(16)
+    val got = Curation.removeRepeatedParagraphs(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000)
+    for (i <- 0L until 2000L) {
+      val exp = if (i % 2 == 0L) s"unique head $i\nunique tail $i"
+                else s"unique only $i"
+      assert(got(i) == exp, s"doc $i")
+    }
+  }
+
   test("packSequences rejects nShards > 2^23 (shard term would overflow pack_id)") {
     import spark.implicits._
     val df = Seq((1L, "a b")).toDF("doc_id", "text")

@@ -93,6 +93,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
+  test("decontaminateNgrams: majority-contaminated corpus degrades to a " +
+    "shuffle anti-join, not a driver-size cliff") {
+    // adversarial inverse of the design case: 90% of candidates carry the
+    // leaked phrase, so the contaminated-id set is row-scaled. With the
+    // old forced broadcast() this shape is a driver OOM at scale; without
+    // the hint it is just a join whose strategy AQE picks from the real
+    // size. Correctness must be identical either way.
+    import spark.implicits._
+    val leak = (1 to 13).map(i => s"w$i").mkString(" ") // one eval 13-gram
+    val eval = Seq((9999L, leak)).toDF("doc_id", "text")
+    val cands = (0L until 500L).map { i =>
+      if (i % 10 != 0L) (i, s"doc $i prefix $leak suffix $i")
+      else (i, s"clean document number $i with its own private words")
+    }.toDF("doc_id", "text")
+    val out = Sampling.decontaminateNgrams(cands, "doc_id", "text",
+      eval, "text", n = 13)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == (0L until 500L).filter(_ % 10 == 0L))
+  }
+
   test("decontaminateNgrams == driver-side reference on a random corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(68)
