@@ -24,7 +24,11 @@ object Bench {
     // round-4 additions: chained-as-of funnel, BPE token counting,
     // corpus-level paragraph dedup, n-gram decontamination
     "q63_funnel_asof", "q64_bpe_tokens", "q65_paragraph_dedup",
-    "q68_ngram_decontaminate")
+    "q68_ngram_decontaminate",
+    // round-5 additions: the end-to-end near-dup clustering pipeline and
+    // the BPE subword EMITTER — the two most production-shaped paths not
+    // yet tracked round-over-round
+    "q49_dedup_corpus", "q67_bpe_tokenize")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
@@ -188,15 +192,53 @@ object Bench {
     * Measured on this leg (sf0.1, 4 micro-batches): 8 partitions ~10-14 s,
     * 32 ~35 s, 64 ~44 s (tools/StreamLegProbe reproduces the sweep) — the
     * batch default (one per core) is an anti-pattern for bounded-state
-    * joins. The setting is scoped to this query: streaming locks its value
-    * at start(), batch queries re-read the restored conf at their own
-    * planning. */
+    * joins. The settings are scoped to this query: streaming locks their
+    * values at start(), batch queries re-read the restored conf at their
+    * own planning.
+    *
+    * Round-5 overhead profile (StreamLegProbe sweep, warm minima):
+    *  - no-data micro-batches OFF is the second-order knob (6.3 -> 4.4 s):
+    *    by default every processAllAvailable() appends a data-less batch
+    *    purely to advance the watermark and evict state — for an
+    *    inner-join leg that emits eagerly, that DOUBLES the batch count
+    *    for zero output. 4 parts beats 8 (fewer state-store instances)
+    *    and 2 (less stateless parallelism): ~4.4 -> ~3.7 s.
+    *  - checkpoint (offset/commit logs + state deltas) on tmpfs shaves
+    *    ~0.3 s; RocksDB (with or without changelog checkpointing) is ~1 s
+    *    SLOWER here — its native-store overhead only pays off when state
+    *    outgrows the JVM heap, and this leg's state is bounded and tiny.
+    *  - the residual ~0.8 s/micro-batch is fixed Structured Streaming
+    *    cost at this scale: per-batch incremental planning plus 2 stateful
+    *    stages x (task scheduling + state-store commit) across 4 state
+    *    stores per partition — it shrinks only by cutting batch count,
+    *    which is the leg's shape, not a tunable.
+    * formatValidation and minBatchesToRetain measured within noise;
+    * left at their safe defaults. */
   def streamingIntervalJoinLeg(spark: SparkSession, sfDir: String,
-      stateParts: Int = 8): Double = {
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      stateParts: Int = 4): Double = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    val savedCkpt = conf.getOption("spark.sql.streaming.checkpointLocation")
+    conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      conf.set("spark.sql.streaming.checkpointLocation",
+        shm.resolve("graft_stream_ckpt").toString)
     try streamingIntervalJoinTimed(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      savedCkpt match {
+        case Some(v) => conf.set("spark.sql.streaming.checkpointLocation", v)
+        case None => conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+    }
   }
 
   private def streamingIntervalJoinTimed(spark: SparkSession, sfDir: String): Double = {
@@ -255,6 +297,10 @@ object Bench {
     try time(SparkEntry.queries("q20_extract_modules")(spark, sfDir))
     catch { case _: Throwable => }
     try SparkEntry.bpeMergeTable(spark, sfDir)
+    catch { case _: Throwable => }
+    // fills the single-slot media cache: q46 rounds time decode, not the
+    // fixture synthesis (which stands in for a one-time table scan)
+    try SparkEntry.mediaTable(spark, sfDir)
     catch { case _: Throwable => }
 
     val nConvs = SparkEntry.nConvsFor(sfDir) * 12 // bench-scale corpus

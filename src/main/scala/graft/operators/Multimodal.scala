@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * features come from the decoded raster). Audio decode is REAL for
   * PCM/WAV (`javax.sound.sampled`, JDK built-in: WAV → samples; features
   * come from the decoded waveform — RMS amplitude and sample-histogram
-  * entropy). VIDEO decode remains a clearly-marked STUB
-  * (genuinely no video codecs in this container): those rows get
-  * deterministic byte-level stand-in features with `decoded = false`.
+  * entropy). Video decode is REAL for MJPEG-in-AVI ([[MjpegAvi]], a
+  * pure-Java RIFF walk + javax.imageio per frame — no external codecs
+  * needed since MJPEG frames ARE JPEGs); other codecs, non-PCM audio, and
+  * undecodable blobs fall to a clearly-marked byte-level stub with
+  * `decoded = false`.
   * The batching mirrors the reference's dominant-cost lesson: one Tesseract
   * *process per character group* killed its throughput
   * (/root/reference/diary_ocr.py:229-247); here decoder state is amortized
@@ -45,7 +47,8 @@ object Multimodal {
   /** Deterministic synthetic media derived from a documents table — the test
     * stand-in for real blobs. Image rows are REAL PNG bytes (ImageIO over a
     * deterministic raster), audio rows are REAL PCM WAV bytes (deterministic
-    * sine waveform), video rows are scrambled doc-text bytes. */
+    * sine waveform), video rows are REAL MJPEG AVI bytes ([[MjpegAvi]]
+    * container around deterministic JPEG frames). */
   def synthesizeMedia(docs: DataFrame, spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)].map {
@@ -99,12 +102,16 @@ object Multimodal {
             MediaRow(id, kind, baos.toByteArray,
               MediaMeta("pcm-wav", 0, 0, durationMs))
           case _ =>
-            val base = text.getBytes("UTF-8")
-            val n = math.max(256, base.length * 4)
-            val bytes = Array.tabulate(n) { i =>
-              (base(i % base.length) ^ (i * 31 + id).toByte).toByte
-            }
-            MediaRow(id, kind, bytes, MediaMeta("fake-h264", 128, 72, 2000L + id % 8000))
+            // a REAL MJPEG AVI (MjpegAvi encodes the RIFF container; frames
+            // are deterministic JPEG rasters keyed by (id, frame))
+            val w = 96; val h = 64
+            val nFrames = 4 + (id % 5).toInt
+            val fps = 4
+            val frames = (0 until nFrames)
+              .map(f => MjpegAvi.synthFrameJpeg(id, f, w, h))
+            val bytes = MjpegAvi.encode(frames, w, h, fps)
+            MediaRow(id, kind, bytes,
+              MediaMeta("mjpeg-avi", w, h, nFrames * 1000L / fps))
         }
     }
   }
@@ -207,6 +214,51 @@ object Multimodal {
                   bytes.length.toLong, shannonEntropy(hist, n.toLong),
                   hist.take(8).toSeq, sampled, rms)
               }
+            case "video" =>
+              // REAL video decode: pure-Java RIFF/AVI walk (MjpegAvi) +
+              // javax.imageio for the MJPEG frames. Every frameStride-th
+              // frame is decoded; luma histogram/entropy accumulate over
+              // the sampled frames only (the 100 TB posture: decode cost
+              // per blob is bounded by nFrames/stride, not nFrames).
+              // Anything that isn't a parseable single-stream MJPEG AVI —
+              // or whose sampled frames all fail JPEG decode — falls to
+              // the stub row, never a task failure.
+              MjpegAvi.decode(bytes) match {
+                case Some(v) =>
+                  val hist = new Array[Long](256)
+                  var total = 0L
+                  var sampled = 0
+                  var fi = 0
+                  while (fi < v.frames.length) {
+                    v.decodeFrame(fi) match {
+                      case Some(img) =>
+                        sampled += 1
+                        val fw = img.getWidth; val fh = img.getHeight
+                        var y = 0
+                        while (y < fh) {
+                          var x = 0
+                          while (x < fw) {
+                            val rgb = img.getRGB(x, y)
+                            val luma = (((rgb >> 16) & 0xff) * 299 +
+                              ((rgb >> 8) & 0xff) * 587 +
+                              (rgb & 0xff) * 114) / 1000
+                            hist(luma) += 1
+                            x += 1
+                          }
+                          y += 1
+                        }
+                        total += fw.toLong * fh
+                      case None => // skip an undecodable frame
+                    }
+                    fi += frameStride
+                  }
+                  if (sampled == 0) stubFeatures(row, frameStride)
+                  else MediaFeatures(row.doc_id, row.kind, decoded = true,
+                    v.width, v.height, bytes.length.toLong,
+                    shannonEntropy(hist, total), hist.take(8).toSeq,
+                    sampled, rms = 0.0)
+                case None => stubFeatures(row, frameStride)
+              }
             case _ => stubFeatures(row, frameStride)
           }
         }
@@ -253,10 +305,10 @@ object Multimodal {
     }
   }
 
-  /** >>> STUB: video decode (and non-PCM audio) — this container ships no
-    * video codecs, so features are deterministic byte-level stand-ins
-    * (decoded = false). The frame-sampling arithmetic is real: every
-    * frameStride-th frame of the (byte-length-derived) frame count. */
+  /** >>> STUB: non-MJPEG video, non-PCM audio, and undecodable blobs —
+    * features are deterministic byte-level stand-ins (decoded = false).
+    * The frame-sampling arithmetic is real: every frameStride-th frame of
+    * the (byte-length-derived) frame count. */
   private def stubFeatures(row: MediaRow, frameStride: Int): MediaFeatures = {
     val bytes = row.media
     val hist = byteHistogram(bytes)

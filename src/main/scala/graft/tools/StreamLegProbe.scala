@@ -20,14 +20,25 @@ object StreamLegProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.session(cpus)
-    if (args.length > 1 && args(1) == "rocksdb")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // remaining args: 'rocksdb' shorthand, or raw spark conf 'key=value'
+    // pairs — lets one binary sweep provider / no-data batches / format
+    // validation / checkpoint location without recompiling
+    args.drop(1).foreach {
+      case "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case kv if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      case other => System.err.println(s"ignoring unknown arg: $other")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     val t = graft.Bench.streamingIntervalJoinLeg(spark, sfDir, stateParts = parts)
     println(f"parts=$parts secs=$t%.2f")
     val t2 = graft.Bench.streamingIntervalJoinLeg(spark, sfDir, stateParts = parts)
     println(f"parts=$parts secs2=$t2%.2f")
+    val t3 = graft.Bench.streamingIntervalJoinLeg(spark, sfDir, stateParts = parts)
+    println(f"parts=$parts secs3=$t3%.2f")
     spark.stop()
   }
 }

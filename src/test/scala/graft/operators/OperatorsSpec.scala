@@ -498,14 +498,52 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.entropy > 0 && f.entropy <= 8.0)
       assert(f.head_histogram.size == 8)
     }
-    // images (javax.imageio) and WAV audio (javax.sound.sampled) decode
-    // for real; video remains stubbed
+    // images (javax.imageio), WAV audio (javax.sound.sampled), and MJPEG
+    // AVI video (MjpegAvi + javax.imageio per frame) ALL decode for real
     assert(feats1.find(_.kind == "image").get.decoded)
     assert(feats1.find(_.kind == "audio").get.decoded)
-    assert(!feats1.find(_.kind == "video").get.decoded)
+    assert(feats1.find(_.kind == "video").get.decoded)
     // frame sampling arithmetic: video with n frames samples ceil(n/stride)
     val video = feats1.find(_.kind == "video").get
     assert(video.frames_sampled >= 1)
+    assert(video.width == 96 && video.height == 64) // from the AVI header
+  }
+
+  test("video rows: features come from DECODED MJPEG frames of a real AVI") {
+    // 3 frames, stride 2 -> frames 0 and 2 decode (sampled = 2)
+    val frames = (0 until 3).map(f => MjpegAvi.synthFrameJpeg(7L, f, 32, 16))
+    val avi = MjpegAvi.encode(frames, 32, 16, fps = 4)
+    val media = Seq(Multimodal.MediaRow(7L, "video", avi,
+      Multimodal.MediaMeta("mjpeg-avi", 32, 16, 750L))).toDS()
+    val f = Multimodal.decode(media, frameStride = 2).collect().head
+    assert(f.decoded)
+    assert(f.width == 32 && f.height == 16)
+    assert(f.frames_sampled == 2)
+    assert(f.entropy > 0.0)
+    // a corrupt container falls back to the stub, never a task failure
+    val bad = Seq(Multimodal.MediaRow(8L, "video",
+      Array.tabulate(512)(_.toByte),
+      Multimodal.MediaMeta("mjpeg-avi", 32, 16, 1L))).toDS()
+    assert(!Multimodal.decode(bad).collect().head.decoded)
+  }
+
+  test("MjpegAvi container round-trip is lossless around the JPEG payloads") {
+    val frames = (0 until 5).map(f => MjpegAvi.synthFrameJpeg(3L, f, 24, 24))
+    val avi = MjpegAvi.encode(frames, 24, 24, fps = 5)
+    val v = MjpegAvi.decode(avi).get
+    assert(v.width == 24 && v.height == 24)
+    assert(v.microSecPerFrame == 200000L)
+    assert(v.frames.length == 5)
+    for (i <- 0 until 5)
+      assert(java.util.Arrays.equals(v.frames(i), frames(i)), s"frame $i")
+    // every frame JPEG-decodes to the synthesized dimensions
+    for (i <- 0 until 5) {
+      val img = v.decodeFrame(i).get
+      assert(img.getWidth == 24 && img.getHeight == 24)
+    }
+    // non-AVI RIFF (e.g. a WAV) and truncated AVIs decode to None
+    assert(MjpegAvi.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(MjpegAvi.decode(avi.take(40).toArray).isEmpty)
   }
 
   test("audio rows: features come from DECODED samples of a real WAV") {
