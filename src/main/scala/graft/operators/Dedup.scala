@@ -427,11 +427,17 @@ object Dedup {
   def nearDupClustersWithRounds(
       pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
+    // Materialize the INPUT once and derive nodes + edges from it: two
+    // independent localCheckpoints here would each re-execute the whole
+    // upstream pair-generation pipeline (for dedupCorpus that is the full
+    // minhash band/verify chain — measured as the dominant cost of the
+    // q49 leg, paid twice before the loop even started).
+    val base = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val nodes = base.select(col("id_a").as("id"))
+      .union(base.select(col("id_b").as("id")))
       .distinct()
       .localCheckpoint()
-    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    var edges = base.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v"))
       .dropDuplicates("u", "v")
       .localCheckpoint()
@@ -457,12 +463,16 @@ object Dedup {
       val both = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val largeMin = both.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      // NOT checkpointed: the small-star step below references it twice,
+      // but both branches contain byte-identical exchange subplans, which
+      // Spark executes once (ReusedExchange) — so one materialization per
+      // ROUND (afterSmall's) is enough. At sf0.1 the extra localCheckpoint
+      // here was ~40% of the loop's wall time, pure scheduling overhead.
       val afterLarge = both.join(largeMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .dropDuplicates("u", "v")
-        .localCheckpoint()
       // small-star: orient (u > v); m = min neighbors; star them onto m
       val oriented = afterLarge.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -537,7 +547,12 @@ object Dedup {
   def dedupCorpus(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
-    val exact = exactDedup(docs, idCol, textCol)
+    // exact is consumed TWICE (minhash input + final anti-join): without a
+    // materialization the anti-join re-executes the exact-dedup groupBy of
+    // the whole corpus. At 100 TB a production run writes this lifecycle
+    // stage to a table anyway (REHEARSAL's extract->dedup flow does);
+    // localCheckpoint is the single-job stand-in for that write.
+    val exact = exactDedup(docs, idCol, textCol).localCheckpoint()
     val pairs = minhashNearDups(exact, idCol, textCol, threshold = threshold)
     val clusters = nearDupClusters(pairs)
     val losers = clusters.filter(col("cluster_id") =!= col("id")).select(col("id"))
