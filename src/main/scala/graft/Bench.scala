@@ -25,10 +25,10 @@ object Bench {
     // corpus-level paragraph dedup, n-gram decontamination
     "q63_funnel_asof", "q64_bpe_tokens", "q65_paragraph_dedup",
     "q68_ngram_decontaminate",
-    // round-5 additions: the end-to-end near-dup clustering pipeline and
-    // the BPE subword EMITTER — the two most production-shaped paths not
-    // yet tracked round-over-round
-    "q49_dedup_corpus", "q67_bpe_tokenize")
+    // round-5 additions: the end-to-end near-dup clustering pipeline, the
+    // BPE subword EMITTER — the two most production-shaped paths not yet
+    // tracked round-over-round — and the new PQ compressed-index ANN
+    "q49_dedup_corpus", "q67_bpe_tokenize", "q69_ann_pq_topk")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
@@ -351,7 +351,7 @@ object Bench {
         .select("query_id", "id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val (recallLsh, recallIvf) = try {
+    val (recallLsh, recallIvf, recallPq) = try {
       val exact = topIds("q44_ann_brute_topk")
       require(exact.nonEmpty, "empty exact top-k") // no silent NaN in the JSON
       def recallOf(name: String): Double = {
@@ -360,8 +360,9 @@ object Bench {
           got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
         per.sum / per.size
       }
-      (recallOf("q45_ann_lsh_topk"), recallOf("q47_ann_ivf_topk"))
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      (recallOf("q45_ann_lsh_topk"), recallOf("q47_ann_ivf_topk"),
+        recallOf("q69_ann_pq_topk"))
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
     // Embedding near-dup PAIR recall (round-3 verdict #6): candidate pairs
     // of the q43 path (hyperplane signs + multi-probe r=1) vs ALL pairs at
@@ -417,7 +418,7 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum +
       math.max(extractSec, 0) + math.max(streamSec, 0)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$round,"protocol":"interleaved minima; spread = max/min of 3 lowest samples; extra rounds (cap $MaxRounds) until every spread <= $SpreadCap and every succeeding leg has >= 3 samples","recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f},"recall_pairs":{"embedding":$recallEmb%.3f},"spread_low3":$sp,"n_samples":$sc}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$turns,"extract_sec":$extractSec%.3f,"turns_per_sec":$tput%.1f,"cpus":"$cpus","rounds":$round,"protocol":"interleaved minima; spread = max/min of 3 lowest samples; extra rounds (cap $MaxRounds) until every spread <= $SpreadCap and every succeeding leg has >= 3 samples","recall_at_10":{"lsh":$recallLsh%.3f,"ivf":$recallIvf%.3f,"pq":$recallPq%.3f},"recall_pairs":{"embedding":$recallEmb%.3f},"spread_low3":$sp,"n_samples":$sc}""")
     spark.stop()
   }
 }

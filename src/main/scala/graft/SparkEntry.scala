@@ -653,6 +653,24 @@ object SparkEntry {
         count(lit(1)).as("docs_kept"),
         sum(when(col("doc_id") >= 1000000L, 1).otherwise(0)).as("planted_kept"))
     }),
+    "q69_ann_pq_topk" -> ((s, dir) => {
+      // product-quantization ANN (Jégou et al. 2011): per-subspace k-means
+      // codebooks on a bounded sample, one-byte-per-subspace codes, ADC
+      // lookup-table scan to top-r candidates, exact cosine re-rank. The
+      // oracle re-ranks the materialized candidate set exactly (the shared
+      // ANN contract); candidate recall is gated in the bench.
+      // m=16/ksub=32/r=128 measured at recall@10 = 0.94 on the sf0.1
+      // bench corpus (tools/PqProbe sweep) — near-isotropic embeddings are
+      // PQ's worst case exactly as they are IVF's (q47's probes=7 note);
+      // 16 bytes/vec is still a 32x cut vs the raw float64 vectors.
+      val e = embCorpus(s, dir)
+      val model = graft.operators.Pq.fit(e, "vec_id", "embedding",
+        m = 16, ksub = 32)
+      graft.operators.Pq.topK(e, "vec_id", "embedding",
+        annQueries(e), "qid", "qv", 10, model, r = 128)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     "q47_ann_ivf_topk" -> ((s, dir) => {
       val e = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -669,7 +687,8 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
-    // ---- multimodal (image decode REAL via javax.imageio; a/v stubbed) -----
+    // ---- multimodal (image/audio/MJPEG-video decode all REAL: javax.imageio,
+    // javax.sound.sampled, MjpegAvi; other codecs fall to the honest stub) ---
     "q46_multimodal_features" -> ((s, dir) => {
       Multimodal.decode(mediaTable(s, dir)).toDF()
         .groupBy(col("kind"))
@@ -904,6 +923,15 @@ object SparkEntry {
       val model = graft.operators.Ivf.fit(e, "vec_id", "embedding", k = 8)
       graft.operators.Ivf.candidates(e, "vec_id", "embedding",
         annQueries(e), "qid", "qv", model, probes = 7).select("query_id", "id")
+    }),
+    "ann_pq_cands" -> ((s, dir) => {
+      // params MUST mirror q69_ann_pq_topk exactly (fit is deterministic,
+      // so refitting reproduces the identical model and candidate set)
+      val e = embCorpus(s, dir)
+      val model = graft.operators.Pq.fit(e, "vec_id", "embedding",
+        m = 16, ksub = 32)
+      graft.operators.Pq.candidates(e, "vec_id", "embedding",
+        annQueries(e), "qid", "qv", model, r = 128).select("query_id", "id")
     }),
     "media_features" -> ((s, dir) =>
       Multimodal.decode(mediaTable(s, dir)).toDF()),
@@ -1496,6 +1524,21 @@ object SparkEntry {
          |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
          |        CAST(q.embedding AS DOUBLE[])) DESC, c.id) AS rank
          |  FROM ${t("ann_ivf_cands")} c
+         |  JOIN embeddings e ON c.id = e.vec_id
+         |  JOIN embeddings q ON c.query_id = q.vec_id) v
+         |WHERE rank <= 10""".stripMargin,
+    // q69: same re-rank contract as q45/q47 — DuckDB exactly re-ranks the
+    // engine's materialized PQ candidate set (ADC recall itself is gated
+    // in the bench, not the oracle)
+    "q69_ann_pq_topk" ->
+      s"""SELECT query_id, id, round(cos, 6) AS cos, rank FROM (
+         |  SELECT c.query_id, c.id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(q.embedding AS DOUBLE[])) DESC, c.id) AS rank
+         |  FROM ${t("ann_pq_cands")} c
          |  JOIN embeddings e ON c.id = e.vec_id
          |  JOIN embeddings q ON c.query_id = q.vec_id) v
          |WHERE rank <= 10""".stripMargin,

@@ -94,7 +94,8 @@ class PlanSpec extends AnyFunSuite {
     // Gate: every ANN query (brute force included) is window-free and the
     // top-k shows up as an ObjectHashAggregate (partial + final).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    Seq("q44_ann_brute_topk", "q45_ann_lsh_topk", "q47_ann_ivf_topk").foreach { name =>
+    Seq("q44_ann_brute_topk", "q45_ann_lsh_topk", "q47_ann_ivf_topk",
+      "q69_ann_pq_topk").foreach { name =>
       val qe = SparkEntry.queries(name)(spark, sf).queryExecution
       val wins = qe.optimizedPlan.collect { case w: LWindow => w }
       assert(wins.isEmpty, s"$name re-grew a window: ${wins.headOption}")
