@@ -351,18 +351,24 @@ object Bench {
         .select("query_id", "id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val (recallLsh, recallIvf, recallPq) = try {
-      val exact = topIds("q44_ann_brute_topk")
-      require(exact.nonEmpty, "empty exact top-k") // no silent NaN in the JSON
-      def recallOf(name: String): Double = {
+    // per-leg try: a failure in ONE approximate path must sentinel only its
+    // own metric, not erase the other legs' round-over-round recall trail
+    val exactTop = try {
+      val e = topIds("q44_ann_brute_topk")
+      require(e.nonEmpty, "empty exact top-k") // no silent NaN in the JSON
+      e
+    } catch { case _: Throwable => Map.empty[Long, Set[Long]] }
+    def recallOf(name: String): Double =
+      if (exactTop.isEmpty) -1.0
+      else try {
         val got = topIds(name)
-        val per = exact.map { case (q, ids) =>
+        val per = exactTop.map { case (q, ids) =>
           got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
         per.sum / per.size
-      }
-      (recallOf("q45_ann_lsh_topk"), recallOf("q47_ann_ivf_topk"),
-        recallOf("q69_ann_pq_topk"))
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      } catch { case _: Throwable => -1.0 }
+    val recallLsh = recallOf("q45_ann_lsh_topk")
+    val recallIvf = recallOf("q47_ann_ivf_topk")
+    val recallPq = recallOf("q69_ann_pq_topk")
 
     // Embedding near-dup PAIR recall (round-3 verdict #6): candidate pairs
     // of the q43 path (hyperplane signs + multi-probe r=1) vs ALL pairs at

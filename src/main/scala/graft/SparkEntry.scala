@@ -851,7 +851,9 @@ object SparkEntry {
     load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
 
-  private def annQueries(e: DataFrame): DataFrame =
+  // private[graft]: tools/PqProbe sweeps parameters against the SAME query
+  // set the bench gates, so the two recall numbers cannot quietly diverge
+  private[graft] def annQueries(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 

@@ -40,4 +40,47 @@ private[operators] object HashSample {
       fallback = base.orderBy(modCol, col(idCol)).limit(sampleSize),
       threshold = threshold)
   }
+
+  /** The full plan → count → undershoot-fallback → collect sequence every
+    * driver-side trainer runs (Ivf.fit, Pq.fit; Bpe.train aggregates
+    * first so it plans its own) — one definition so the undershoot rule
+    * cannot drift between operators. Returns the collected sample rows. */
+  def collectRows(base: DataFrame, idCol: String, sampleSize: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val total = base.count() // parquet sources: metadata-only count
+    val p = plan(base, idCol, sampleSize, total)
+    val picked = p.sampled.collect()
+    if (p.undershot(picked.length, sampleSize, total)) p.fallback.collect()
+    else picked
+  }
+}
+
+/** Deterministic driver-side Lloyd k-means shared by the ANN trainers
+  * (Ivf.fit over whole vectors with cosine assignment; Pq.fit per subspace
+  * with L2 assignment). One definition of the conventions that MUST agree
+  * for refit-determinism: evenly spaced sample init, caller-supplied
+  * nearest-centroid rule (ties break to the lowest index), empty cell
+  * keeps its previous centroid. */
+private[operators] object KMeansCore {
+  def lloyd(sample: Array[Array[Double]], k: Int, iters: Int)
+      (nearest: (Array[Double], Array[Array[Double]]) => Int)
+      : Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var centroids = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
 }

@@ -44,35 +44,18 @@ object Ivf {
     val base = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-    val total = base.count() // parquet sources: metadata-only count
-    val plan = HashSample.plan(base, "id", sampleSize, total)
-    var picked = plan.sampled.collect()
-    if (plan.undershot(picked.length, sampleSize, total))
-      // hash-range undershoot (vanishingly rare at 4× oversample): fall back
-      picked = plan.fallback.collect()
-    val sample = picked.map(_.getSeq[Double](1).toArray)
-    require(sample.length >= k, s"sample ${sample.length} < k=$k")
-
-    var centroids = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestCos = Double.MinValue
-        var c = 0
-        while (c < k) {
-          val cs = cosineArr(v, centroids(c))
-          if (cs > bestCos) { bestCos = cs; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        var d = 0
-        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+    val sample = HashSample.collectRows(base, "id", sampleSize)
+      .map(_.getSeq[Double](1).toArray)
+    // shared Lloyd core; assignment by cosine, ties to the lowest index
+    val centroids = KMeansCore.lloyd(sample, k, iters) { (v, cents) =>
+      var best = 0; var bestCos = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val cs = cosineArr(v, cents(c))
+        if (cs > bestCos) { bestCos = cs; best = c }
+        c += 1
       }
-      centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }
+      best
     }
     Model(centroids)
   }

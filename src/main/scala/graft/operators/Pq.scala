@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * for Nearest Neighbor Search", IEEE TPAMI 2011 — public) — the
   * compressed-index scale path beyond IVF: vectors are cut into `m`
   * subvectors, each quantized to one of `ksub` per-subspace centroids, so a
-  * corpus vector is stored as `m` bytes instead of `dim` doubles (64-d
-  * float64 → 8 bytes here, a 64× memory cut). At 10^12-row scale that is
-  * the difference between an index that fits executor memory and one that
-  * doesn't.
+  * corpus vector is stored as `m` bytes instead of `dim` doubles (the
+  * shipped q69 config, m=16 over 64-d float64, is 16 bytes/vector — a 32×
+  * memory cut; coarser m trades recall for compression). At 10^12-row
+  * scale that is the difference between an index that fits executor memory
+  * and one that doesn't.
   *
   * Split of labor (same discipline as [[Ivf]] / [[Bpe]]):
   *  - TRAIN driver-side: per-subspace k-means over a bounded HashSample of
@@ -86,41 +87,19 @@ object Pq {
     require(m >= 1, s"m must be >= 1, got $m")
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val total = base.count()
-    val plan = HashSample.plan(base, "id", sampleSize, total)
-    var picked = plan.sampled.collect()
-    if (plan.undershot(picked.length, sampleSize, total))
-      picked = plan.fallback.collect()
-    val sample = picked.map(r => normalize(r.getSeq[Double](1).toArray))
+    val sample = HashSample.collectRows(base, "id", sampleSize)
+      .map(r => normalize(r.getSeq[Double](1).toArray))
     require(sample.nonEmpty, "PQ fit: empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    require(sample.length >= ksub,
-      s"sample ${sample.length} < ksub=$ksub")
     val dsub = dim / m
 
+    // shared Lloyd core per subspace (L2 assignment, ties to lowest index)
     val codebooks = Array.tabulate(m) { j =>
       val off = j * dsub
-      // deterministic init: evenly spaced sample slices (the Ivf.fit rule)
-      var book = Array.tabulate(ksub) { c =>
-        java.util.Arrays.copyOfRange(
-          sample(c * (sample.length / ksub)), off, off + dsub)
-      }
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(ksub)(new Array[Double](dsub))
-        val counts = new Array[Int](ksub)
-        sample.foreach { v =>
-          val c = nearest(v, off, book)
-          counts(c) += 1
-          var d = 0
-          while (d < dsub) { sums(c)(d) += v(off + d); d += 1 }
-        }
-        book = Array.tabulate(ksub) { c =>
-          if (counts(c) == 0) book(c) // empty cell keeps its centroid
-          else sums(c).map(_ / counts(c))
-        }
-      }
-      book
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, off, off + dsub))
+      KMeansCore.lloyd(slices, ksub, iters)((v, book) => nearest(v, 0, book))
     }
     Model(m, ksub, dim, codebooks)
   }

@@ -11,8 +11,9 @@ object PqProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // the bench's own query-selection rule — measured recall here is the
+    // recall the bench will gate
+    val queries = graft.SparkEntry.annQueries(e)
     def topIds(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "id").collect().groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
