@@ -217,26 +217,39 @@ object Bench {
   def streamingIntervalJoinLeg(spark: SparkSession, sfDir: String,
       stateParts: Int = 4): Double = {
     val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.shuffle.partitions",
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-      .map(k => k -> conf.getOption(k)).toMap
-    val savedCkpt = conf.getOption("spark.sql.streaming.checkpointLocation")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
+    val keys = Seq("spark.sql.shuffle.partitions", noDataKey, ckptKey)
+    val saved = keys.map(k => k -> conf.getOption(k))
     conf.set("spark.sql.shuffle.partitions", stateParts.toString)
-    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Tuned DEFAULTS, not overrides: a caller (StreamLegProbe sweeps) that
+    // pinned either knob keeps its value — otherwise the sweep would
+    // silently measure this leg's configuration on both sides.
+    if (conf.getOption(noDataKey).isEmpty) conf.set(noDataKey, "false")
+    // Unique tmpfs checkpoint root per invocation, deleted afterwards:
+    // a fixed root leaks one RAM-backed offsets/commits/state dir per run
+    // (unnamed queries under an explicit checkpointLocation are NOT
+    // cleaned on stop, unlike Spark's own temp checkpoints).
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm))
-      conf.set("spark.sql.streaming.checkpointLocation",
-        shm.resolve("graft_stream_ckpt").toString)
+    val ckptDir =
+      if (conf.getOption(ckptKey).isEmpty &&
+        java.nio.file.Files.isWritable(shm)) {
+        val d = java.nio.file.Files.createTempDirectory(shm, "graft_stream_ckpt_")
+        conf.set(ckptKey, d.toString)
+        Some(d)
+      } else None
     try streamingIntervalJoinTimed(spark, sfDir)
     finally {
       saved.foreach {
         case (k, Some(v)) => conf.set(k, v)
         case (k, None) => conf.unset(k)
       }
-      savedCkpt match {
-        case Some(v) => conf.set("spark.sql.streaming.checkpointLocation", v)
-        case None => conf.unset("spark.sql.streaming.checkpointLocation")
+      ckptDir.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case scala.util.control.NonFatal(_) => }
       }
     }
   }

@@ -183,14 +183,18 @@ object Curation {
     val hot = paras.groupBy(col("_p")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
       .select(col("_p"))
-    // EXPLICIT broadcast of the hot set: without it the anti-join shuffles
-    // full paragraph text keyed BY paragraph — and a corpus-dominating
-    // boilerplate paragraph is simultaneously the hottest join key, i.e.
-    // the skew lands exactly on the rows we're trying to drop. The hot set
-    // is bounded by totalParas/minCount and in practice is the handful of
-    // boilerplate strings; broadcasting it keeps the row-scaled side
-    // shuffle-free here (the rebuild's groupBy(_id) is the one shuffle).
-    val kept = paras.join(broadcast(hot), Seq("_p"), "left_anti")
+    // NO forced broadcast on the hot set (the q68 rule): its size is
+    // data-shaped — bounded by totalParas/minCount, which a mirrored or
+    // template-heavy corpus makes row-scaled, where a broadcast hint is a
+    // driver OOM instead of a graceful shuffle. In the design case (a
+    // handful of boilerplate strings) AQE broadcasts it at runtime once
+    // the aggregate stage materializes — keeping the row-scaled side
+    // shuffle-free here (the rebuild's groupBy(_id) is the one shuffle) —
+    // and PlanSpec asserts that runtime choice on the bench fixture. In
+    // the degenerate regime the anti-join's paragraph-keyed shuffle is
+    // skewed on the hottest paragraph, which AQE's skew-join splitting
+    // handles; the broadcast cliff would not have completed at all.
+    val kept = paras.join(hot, Seq("_p"), "left_anti")
     val rebuilt = kept.groupBy(col("_id")).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("_pos"), col("_p")))),

@@ -136,16 +136,17 @@ object MjpegAvi {
       var width = 0
       var height = 0
       var uspf = 0L
+      var videoStreams = 0
       val frames = IndexedSeq.newBuilder[Array[Byte]]
 
       def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
         var p = from
         while (p + 8 <= to) {
           val id = tag(bytes, p)
-          val size = readU32(bytes, p + 4)
+          val size = readU32(bytes, p + 4) // unsigned: readU32 ∈ [0, 2^32)
           val dataStart = p + 8
           val dataEnd = dataStart + size
-          if (size < 0 || dataEnd > to) return // truncated: keep what we have
+          if (dataEnd > to) return // truncated/oversized: keep what we have
           if (id == "LIST" && size >= 4) {
             val kind = tag(bytes, dataStart)
             // only descend where frame/header chunks can live
@@ -157,8 +158,14 @@ object MjpegAvi {
             uspf = readU32(bytes, dataStart)
             width = readU32(bytes, dataStart + 32).toInt
             height = readU32(bytes, dataStart + 36).toInt
-          } else if (inMovi && id.length == 4 &&
+          } else if (id == "strh" && size >= 4 &&
+            tag(bytes, dataStart) == "vids") {
+            videoStreams += 1
+          } else if (inMovi && id.startsWith("00") &&
             (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
+            // stream 0 ONLY: a second stream's '01dc' frames interleaved
+            // into one sequence would silently corrupt frame count,
+            // duration, and the sampled-frame features
             frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)
           }
           p = dataEnd.toInt + (size.toInt & 1) // skip pad byte
@@ -168,7 +175,10 @@ object MjpegAvi {
       walk(12, math.min(bytes.length.toLong, 8L + readU32(bytes, 4)).toInt,
         inMovi = false)
       val fs = frames.result()
-      if (fs.isEmpty || width <= 0 || height <= 0) None
+      // enforce the documented contract: exactly one video stream — a
+      // multi-stream container degrades to the caller's stub path rather
+      // than decoding as if it were stream 0 alone
+      if (fs.isEmpty || width <= 0 || height <= 0 || videoStreams != 1) None
       else Some(Video(width, height, uspf, fs))
     } catch { case scala.util.control.NonFatal(_) => None }
   }

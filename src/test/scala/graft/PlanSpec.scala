@@ -151,10 +151,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
-  test("q65 paragraph dedup: hot-set anti-join is an EXPLICIT broadcast " +
-    "(the hottest paragraph is the hottest join key — shuffling text by " +
-    "paragraph would land the skew on the boilerplate rows)") {
-    val p = plan("q65_paragraph_dedup")
+  test("q65 paragraph dedup: hot-set anti-join goes broadcast AT RUNTIME " +
+    "via AQE (the hottest paragraph is the hottest join key — shuffling " +
+    "text by paragraph would land the skew on the boilerplate rows; a " +
+    "FORCED broadcast would be a driver cliff on template-heavy corpora)") {
+    val df = SparkEntry.queries("q65_paragraph_dedup")(spark, sf)
+    df.collect() // finalize AQE so the runtime join choice is visible
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }

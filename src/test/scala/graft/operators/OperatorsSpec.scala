@@ -544,6 +544,17 @@ class MultimodalSpec extends AnyFunSuite {
     // non-AVI RIFF (e.g. a WAV) and truncated AVIs decode to None
     assert(MjpegAvi.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
     assert(MjpegAvi.decode(avi.take(40).toArray).isEmpty)
+    // frames are stream 0 ONLY: relabel every '00dc' chunk as a second
+    // stream's '01dc' -> no stream-0 frames -> None, not silent mixing
+    val relabeled = avi.clone()
+    var i = 0
+    while (i + 3 < relabeled.length) {
+      if (relabeled(i) == '0'.toByte && relabeled(i + 1) == '0'.toByte &&
+        relabeled(i + 2) == 'd'.toByte && relabeled(i + 3) == 'c'.toByte)
+        relabeled(i + 1) = '1'.toByte
+      i += 1
+    }
+    assert(MjpegAvi.decode(relabeled).isEmpty)
   }
 
   test("audio rows: features come from DECODED samples of a real WAV") {
