@@ -518,6 +518,19 @@ object SparkEntry {
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
       graft.operators.Bpe.tokenize(d, "doc_id", bpeText(col("text")), enc)
     }),
+    "q70_bpe_token_ids" -> ((s, dir) => {
+      // the tokenized-sink form: subword sequences mapped to dense integer
+      // token ids via the materialized bpe_vocab dimension (lexicographic
+      // id assignment — bounded by the model: <= nMerges merged symbols +
+      // single code points). The oracle replays the merges, splits the
+      // token string, and joins the SAME vocab table per position.
+      val d = load(s, dir, "documents")
+      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+      val vm = graft.operators.Bpe.vocab(d, "doc_id", bpeText(col("text")), enc)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.Bpe.tokenizeIds(d, "doc_id", bpeText(col("text")), enc, vm)
+    }),
+
     "q66_bpe_packing" -> ((s, dir) => {
       // the round-3 verdict's "offer real BPE to the packing tokensCol",
       // end-to-end: q59's concat-and-slice packing budgeted by the REAL
@@ -888,6 +901,13 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
       bpeMergeTable(s, dir).toDF()
+    }),
+    "bpe_vocab" -> ((s, dir) => {
+      // MUST mirror q70's vocab derivation exactly (deterministic: same
+      // corpus, same cached merge table, lexicographic id assignment)
+      val d = load(s, dir, "documents")
+      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+      graft.operators.Bpe.vocab(d, "doc_id", bpeText(col("text")), enc)
     }),
     "transcripts_raw" -> ((s, dir) =>
       ExtractPipeline.transcripts(s, nConvsFor(dir),
@@ -1399,6 +1419,29 @@ object SparkEntry {
          |  replace(replace(trim(s, '|'), '|¶|', '§'), '||', '§') AS tokens_str
          |FROM steps
          |WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})""".stripMargin,
+
+    // q70: token IDS — the q67 replay string split per position, each
+    // token joined to the materialized bpe_vocab dimension (parallel
+    // unnest + generate_subscripts keeps positions aligned, Postgres
+    // semantics); ids re-joined with ',' in token order
+    "q70_bpe_token_ids" ->
+      s"""$bpeReplayCtes,
+         |fin AS (
+         |  SELECT doc_id,
+         |    replace(replace(trim(s, '|'), '|¶|', '§'), '||', '§') AS toks
+         |  FROM steps
+         |  WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})),
+         |ex AS (
+         |  SELECT doc_id, unnest(str_split(toks, '§')) AS tok,
+         |    generate_subscripts(str_split(toks, '§'), 1) AS i
+         |  FROM fin WHERE toks <> ''),
+         |ids AS (
+         |  SELECT ex.doc_id,
+         |    string_agg(v.token_id::VARCHAR, ',' ORDER BY ex.i) AS ids_str
+         |  FROM ex JOIN ${t("bpe_vocab")} v ON v.token = ex.tok
+         |  GROUP BY ex.doc_id)
+         |SELECT f.doc_id, coalesce(ids.ids_str, '') AS ids_str
+         |FROM fin f LEFT JOIN ids ON f.doc_id = ids.doc_id""".stripMargin,
 
     // q66: q64's recursive merge replay feeding q59's packing windows —
     // the oracle recomputes BPE counts from the materialized merges, then

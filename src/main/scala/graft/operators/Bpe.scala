@@ -370,6 +370,65 @@ object Bpe {
       .toDF("doc_id", "tokens_str")
   }
 
+  /** Deterministic token-id vocabulary over a corpus: every distinct
+    * subword the encoder emits, id-assigned by lexicographic token order.
+    * BOUNDED BY THE MODEL, not the corpus: an emitted token is either one
+    * of the ≤ nMerges merged symbols or an unmerged single code point, so
+    * |vocab| ≤ nMerges + |distinct code points in the corpus| — a
+    * dimension table, safe to broadcast or collect.
+    *
+    * Id assignment uses sortBy + zipWithIndex (the one total-order
+    * assignment Spark offers without a global window — PlanSpec forbids
+    * those; the sort is over the vocab-sized distinct set, not rows).
+    * Output: (token, token_id), ids dense from 0. */
+  def vocab(docs: DataFrame, idCol: String, textCol: Column, enc: Encoder,
+      sep: String = "§"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tokenize(docs, idCol, textCol, enc, sep)
+      .select(explode(split(col("tokens_str"),
+        java.util.regex.Pattern.quote(sep))).as("token"))
+      .filter(length(col("token")) > 0) // empty docs emit an empty string
+      .distinct()
+      .as[String].rdd.sortBy(identity).zipWithIndex()
+      .toDF("token", "token_id")
+  }
+
+  /** Token-ID sequences — what a tokenized training-data sink actually
+    * writes: (doc_id, ids_str) with ids comma-joined in token order (ids
+    * are numeric, so ',' is unambiguous no matter what the text held).
+    * `vocabMap` is the broadcastable (token → id) dimension from [[vocab]];
+    * a token absent from it maps to `unkId` (impossible when the vocab was
+    * built over the same corpus and encoder — documented, not silent:
+    * choose a negative unkId so downstream filters can find them). */
+  def tokenizeIds(docs: DataFrame, idCol: String, textCol: Column,
+      enc: Encoder, vocabMap: Map[String, Long], sep: String = "§",
+      unkId: Long = -1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocabMap)
+    tokenize(docs, idCol, textCol, enc, sep)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, ts) =>
+          if (ts.isEmpty) (id, "")
+          else {
+            val sb = new java.lang.StringBuilder
+            val toks = ts.split(java.util.regex.Pattern.quote(sep), -1)
+            var i = 0
+            while (i < toks.length) {
+              if (sb.length > 0) sb.append(',')
+              sb.append(m.getOrElse(toks(i), unkId))
+              i += 1
+            }
+            (id, sb.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "ids_str")
+  }
+
   /** Per-document token counts, distributed: broadcast encoder + a
     * per-partition word memo capped at 2^20 entries (cleared, not evicted,
     * when full — correctness never depends on the cache). Output:

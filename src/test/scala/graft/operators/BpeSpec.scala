@@ -184,6 +184,32 @@ class BpeSpec extends AnyFunSuite {
     assert(ratio >= 50.0, f"update ratio $ratio%.1f < 50x")
   }
 
+  test("vocab: dense lexicographic ids, bounded by the model; tokenizeIds " +
+    "round-trips through it and flags OOV as unkId") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ab cd"), (2L, "cd cd"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Bpe.trainFromCounts(
+      Seq(("abab", 10L), ("ab", 5L), ("cd", 3L)), 3)
+    val enc = new Bpe.Encoder(merges)
+    val v = Bpe.vocab(docs, "doc_id", col("text"), enc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // emitted tokens: abab (1), ab, cd — ids dense by lexicographic order
+    assert(v == Map("ab" -> 0L, "abab" -> 1L, "cd" -> 2L))
+    val got = Bpe.tokenizeIds(docs, "doc_id", col("text"), enc, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "1,0,2", 2L -> "2,2", 3L -> "", 4L -> ""))
+    // determinism across partitionings
+    val v2 = Bpe.vocab(docs.repartition(7), "doc_id", col("text"), enc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 == v)
+    // OOV (vocab built elsewhere) maps to unkId, never drops silently
+    val other = Seq((9L, "zz ab")).toDF("doc_id", "text")
+    val oov = Bpe.tokenizeIds(other, "doc_id", col("text"), enc, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(oov == Map(9L -> "-1,-1,0")) // z, z, ab
+  }
+
   test("tokenize rejects words containing the separator instead of " +
     "emitting ambiguous output") {
     import spark.implicits._
