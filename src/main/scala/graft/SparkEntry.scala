@@ -531,6 +531,37 @@ object SparkEntry {
       graft.operators.Bpe.tokenizeIds(d, "doc_id", bpeText(col("text")), enc, vm)
     }),
 
+    "q71_packed_ids" -> ((s, dir) => {
+      // the FINAL training-sink artifact, end to end: documents → real-BPE
+      // token ids (q70) → budget-packed buffers (q66's packing) → per pack,
+      // the member docs' id streams concatenated in pack order. The oracle
+      // composes the merge replay, the vocab position-join, and the
+      // packing windows — every stage independently recomputed.
+      val d = load(s, dir, "documents")
+      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+      val vm = graft.operators.Bpe.vocab(d, "doc_id", bpeText(col("text")), enc)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = graft.operators.Bpe
+        .tokenCounts(d, "doc_id", bpeText(col("text")), enc)
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+      val packed = graft.operators.Curation.packSequences(
+        counts, "doc_id", col("bpe_tokens"), window = 512L, nShards = 8)
+      val ids = graft.operators.Bpe.tokenizeIds(d, "doc_id",
+        bpeText(col("text")), enc, vm)
+      packed.join(ids, Seq("doc_id"))
+        .groupBy(col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          array_join(
+            filter(
+              transform(
+                array_sort(collect_list(struct(col("pack_pos"), col("ids_str")))),
+                x => x.getField("ids_str")),
+              x => length(x) > 0),
+            ",").as("ids_str"))
+    }),
+
     "q66_bpe_packing" -> ((s, dir) => {
       // the round-3 verdict's "offer real BPE to the packing tokensCol",
       // end-to-end: q59's concat-and-slice packing budgeted by the REAL
@@ -1442,6 +1473,44 @@ object SparkEntry {
          |  GROUP BY ex.doc_id)
          |SELECT f.doc_id, coalesce(ids.ids_str, '') AS ids_str
          |FROM fin f LEFT JOIN ids ON f.doc_id = ids.doc_id""".stripMargin,
+
+    // q71: the full sink — replayed token ids (q70's CTEs) grouped into
+    // q66's packing cells; per pack, member id streams concatenated in
+    // pack order (string_agg skips NULL = empty docs, matching the
+    // engine's length>0 filter)
+    "q71_packed_ids" ->
+      s"""$bpeReplayCtes,
+         |fin AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    replace(replace(trim(s, '|'), '|¶|', '§'), '||', '§') AS toks,
+         |    CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
+         |      AS n_tokens
+         |  FROM steps
+         |  WHERE r = (SELECT count(*) FROM ${t("bpe_merges")})),
+         |c AS (SELECT doc_id, shard, n_tokens, toks,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_start,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+         |      AS pack_pos
+         |  FROM fin),
+         |ex AS (
+         |  SELECT doc_id, unnest(str_split(toks, '§')) AS tok,
+         |    generate_subscripts(str_split(toks, '§'), 1) AS i
+         |  FROM c WHERE toks <> ''),
+         |ids AS (
+         |  SELECT ex.doc_id,
+         |    string_agg(v.token_id::VARCHAR, ',' ORDER BY ex.i) AS ids_str
+         |  FROM ex JOIN ${t("bpe_vocab")} v ON v.token = ex.tok
+         |  GROUP BY ex.doc_id)
+         |SELECT
+         |  CAST(shard * 1099511627776 + tok_start // 512 AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  coalesce(string_agg(ids.ids_str, ',' ORDER BY pack_pos), '')
+         |    AS ids_str
+         |FROM c LEFT JOIN ids ON c.doc_id = ids.doc_id
+         |GROUP BY 1""".stripMargin,
 
     // q66: q64's recursive merge replay feeding q59's packing windows —
     // the oracle recomputes BPE counts from the materialized merges, then
