@@ -28,7 +28,9 @@ object Bench {
     // round-5 additions: the end-to-end near-dup clustering pipeline, the
     // BPE subword EMITTER — the two most production-shaped paths not yet
     // tracked round-over-round — and the new PQ compressed-index ANN
-    "q49_dedup_corpus", "q67_bpe_tokenize", "q69_ann_pq_topk")
+    "q49_dedup_corpus", "q67_bpe_tokenize", "q69_ann_pq_topk",
+    // the complete emit chain (ids + packing), tracked as one leg
+    "q71_packed_ids")
 
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
@@ -310,6 +312,10 @@ object Bench {
     try time(SparkEntry.queries("q20_extract_modules")(spark, sfDir))
     catch { case _: Throwable => }
     try SparkEntry.bpeMergeTable(spark, sfDir)
+    catch { case _: Throwable => }
+    // vocab is a one-time dimension build (tokenize+distinct+sort+collect);
+    // warm its slot so q70/q71 rounds measure the emit path, not the build
+    try SparkEntry.bpeVocabRows(spark, sfDir)
     catch { case _: Throwable => }
     // fills the single-slot media cache: q46 rounds time decode, not the
     // fixture synthesis (which stands in for a one-time table scan)

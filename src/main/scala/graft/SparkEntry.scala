@@ -526,9 +526,8 @@ object SparkEntry {
       // token string, and joins the SAME vocab table per position.
       val d = load(s, dir, "documents")
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
-      val vm = graft.operators.Bpe.vocab(d, "doc_id", bpeText(col("text")), enc)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      graft.operators.Bpe.tokenizeIds(d, "doc_id", bpeText(col("text")), enc, vm)
+      graft.operators.Bpe.tokenizeIds(d, "doc_id", bpeText(col("text")), enc,
+        bpeVocabRows(s, dir).toMap)
     }),
 
     "q71_packed_ids" -> ((s, dir) => {
@@ -539,15 +538,20 @@ object SparkEntry {
       // packing windows — every stage independently recomputed.
       val d = load(s, dir, "documents")
       val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
-      val vm = graft.operators.Bpe.vocab(d, "doc_id", bpeText(col("text")), enc)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val counts = graft.operators.Bpe
-        .tokenCounts(d, "doc_id", bpeText(col("text")), enc)
-        .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
-      val packed = graft.operators.Curation.packSequences(
-        counts, "doc_id", col("bpe_tokens"), window = 512L, nShards = 8)
+      // ONE corpus encode: the id streams are the source of truth and the
+      // packing budget derives from them (token count == id count), so the
+      // sink doesn't pay tokenCounts' second pass; localCheckpoint because
+      // ids feed both the budget and the final join (q55's precedent)
       val ids = graft.operators.Bpe.tokenizeIds(d, "doc_id",
-        bpeText(col("text")), enc, vm)
+        bpeText(col("text")), enc, bpeVocabRows(s, dir).toMap)
+        .localCheckpoint()
+      val counts = ids.select(col("doc_id"),
+        when(col("ids_str") === "", lit(0L))
+          .otherwise(size(split(col("ids_str"), ",")).cast("long"))
+          .as("bpe_tokens"))
+      val packed = graft.operators.Curation.packSequences(
+        counts, "doc_id", col("bpe_tokens"),
+        window = BpePackWindow, nShards = BpePackShards)
       packed.join(ids, Seq("doc_id"))
         .groupBy(col("pack_id"))
         .agg(
@@ -573,7 +577,8 @@ object SparkEntry {
         .tokenCounts(d, "doc_id", bpeText(col("text")), enc)
         .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
       graft.operators.Curation.packSequences(
-        counts, "doc_id", col("bpe_tokens"), window = 512L, nShards = 8)
+        counts, "doc_id", col("bpe_tokens"),
+        window = BpePackWindow, nShards = BpePackShards)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("tok_start"), col("pack_id"), col("pack_pos"))
     }),
@@ -852,6 +857,32 @@ object SparkEntry {
     m
   }
 
+  /** BPE packing cell parameters — ONE definition shared by the q66 and
+    * q71 queries AND their oracle SQL, so the two queries' packs cannot
+    * silently diverge. */
+  private val BpePackWindow = 512L
+  private val BpePackShards = 8
+
+  /** BPE vocab rows, SINGLE-SLOT cached per (session, sfDir) — the q70/q71
+    * queries and the `bpe_vocab` materialization must describe the SAME id
+    * assignment, and the build (tokenize + distinct + sort + collect) is a
+    * one-time dimension cost, not per-query work. */
+  @volatile private var bpeVocabSlot
+      : Option[(SparkSession, String, Seq[(String, Long)])] = None
+
+  def bpeVocabRows(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    bpeVocabSlot match {
+      case Some((cs, cd, v)) if (cs eq s) && cd == dir => return v
+      case _ =>
+    }
+    val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
+    val v = graft.operators.Bpe
+      .vocab(load(s, dir, "documents"), "doc_id", bpeText(col("text")), enc)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    bpeVocabSlot = Some((s, dir, v))
+    v
+  }
+
   /** Trained BPE merge table, SINGLE-SLOT cached per (session, sfDir) —
     * the skipRuleOutcome pattern — so the q64 query and the `bpe_merges`
     * materialization describe the SAME training run without retraining. */
@@ -934,11 +965,10 @@ object SparkEntry {
       bpeMergeTable(s, dir).toDF()
     }),
     "bpe_vocab" -> ((s, dir) => {
-      // MUST mirror q70's vocab derivation exactly (deterministic: same
-      // corpus, same cached merge table, lexicographic id assignment)
-      val d = load(s, dir, "documents")
-      val enc = new graft.operators.Bpe.Encoder(bpeMergeTable(s, dir))
-      graft.operators.Bpe.vocab(d, "doc_id", bpeText(col("text")), enc)
+      // the SAME slot-cached rows q70/q71 consume — one definition, no
+      // prose-enforced mirroring
+      import s.implicits._
+      bpeVocabRows(s, dir).toDF("token", "token_id")
     }),
     "transcripts_raw" -> ((s, dir) =>
       ExtractPipeline.transcripts(s, nConvsFor(dir),
@@ -1481,7 +1511,7 @@ object SparkEntry {
     "q71_packed_ids" ->
       s"""$bpeReplayCtes,
          |fin AS (
-         |  SELECT doc_id, doc_id % 8 AS shard,
+         |  SELECT doc_id, doc_id % $BpePackShards AS shard,
          |    replace(replace(trim(s, '|'), '|¶|', '§'), '||', '§') AS toks,
          |    CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
          |      AS n_tokens
@@ -1504,7 +1534,7 @@ object SparkEntry {
          |  FROM ex JOIN ${t("bpe_vocab")} v ON v.token = ex.tok
          |  GROUP BY ex.doc_id)
          |SELECT
-         |  CAST(shard * 1099511627776 + tok_start // 512 AS BIGINT) AS pack_id,
+         |  CAST(shard * 1099511627776 + tok_start // $BpePackWindow AS BIGINT) AS pack_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
          |  coalesce(string_agg(ids.ids_str, ',' ORDER BY pack_pos), '')
@@ -1518,7 +1548,7 @@ object SparkEntry {
     "q66_bpe_packing" ->
       s"""$bpeReplayCtes,
          |t AS (
-         |  SELECT doc_id, doc_id % 8 AS shard,
+         |  SELECT doc_id, doc_id % $BpePackShards AS shard,
          |    CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)
          |      AS n_tokens
          |  FROM steps
@@ -1532,7 +1562,7 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
          |  CAST(tok_start AS BIGINT) AS tok_start,
-         |  CAST(shard * 1099511627776 + tok_start // 512 AS BIGINT) AS pack_id,
+         |  CAST(shard * 1099511627776 + tok_start // $BpePackWindow AS BIGINT) AS pack_id,
          |  CAST(pack_pos AS BIGINT) AS pack_pos
          |FROM c""".stripMargin,
 

@@ -394,6 +394,12 @@ object Bpe {
       .toDF("token", "token_id")
   }
 
+  /** Collect a [[vocab]] dimension into the broadcastable map
+    * [[tokenizeIds]] consumes (bounded by the model — see [[vocab]]). */
+  def vocabMap(vocab: DataFrame): Map[String, Long] =
+    vocab.select(col("token"), col("token_id").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Token-ID sequences — what a tokenized training-data sink actually
     * writes: (doc_id, ids_str) with ids comma-joined in token order (ids
     * are numeric, so ',' is unambiguous no matter what the text held).
@@ -411,11 +417,14 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val m = bc.value
+        // compiled once per partition: String.split's no-compile fast path
+        // doesn't apply to Pattern.quote's \Q..\E form
+        val p = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(sep))
         it.map { case (id, ts) =>
           if (ts.isEmpty) (id, "")
           else {
             val sb = new java.lang.StringBuilder
-            val toks = ts.split(java.util.regex.Pattern.quote(sep), -1)
+            val toks = p.split(ts, -1)
             var i = 0
             while (i < toks.length) {
               if (sb.length > 0) sb.append(',')
