@@ -116,6 +116,31 @@ object Multimodal {
     }
   }
 
+  /** Accumulate the 256-bucket integer-luma histogram of a decoded image
+    * into `hist` — one bulk `getRGB(row)` fetch per scanline instead of a
+    * per-pixel `getRGB(x, y)` call. Bulk fetch returns the identical packed
+    * ARGB ints (same color-model conversion, applied once per row buffer),
+    * so the luma math — (299·R + 587·G + 114·B) / 1000, integer division —
+    * is bit-identical to the per-pixel form; only the per-call JNI/color-
+    * model overhead (the decode leg's measured hot spot) is removed. */
+  private def lumaHistogram(img: BufferedImage, hist: Array[Long]): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val luma = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist(luma) += 1
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   private def shannonEntropy(hist: Array[Long], total: Long): Double = {
     if (total <= 0) return 0.0
     var entropy = 0.0
@@ -159,21 +184,13 @@ object Multimodal {
                 catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) stubFeatures(row, frameStride) // undecodable blob
               else {
-                // luma histogram over the decoded raster
+                // luma histogram over the decoded raster (bulk row fetch —
+                // see lumaHistogram: same per-pixel values, ~an order of
+                // magnitude fewer color-model conversions than per-pixel
+                // getRGB)
                 val hist = new Array[Long](256)
                 val w = img.getWidth; val h = img.getHeight
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = img.getRGB(x, y)
-                    val luma = (((rgb >> 16) & 0xff) * 299 +
-                      ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-                    hist(luma) += 1
-                    x += 1
-                  }
-                  y += 1
-                }
+                lumaHistogram(img, hist)
                 MediaFeatures(row.doc_id, row.kind, decoded = true, w, h,
                   bytes.length.toLong, shannonEntropy(hist, w.toLong * h),
                   hist.take(8).toSeq, frames_sampled = 1, rms = 0.0)
@@ -233,21 +250,8 @@ object Multimodal {
                     v.decodeFrame(fi) match {
                       case Some(img) =>
                         sampled += 1
-                        val fw = img.getWidth; val fh = img.getHeight
-                        var y = 0
-                        while (y < fh) {
-                          var x = 0
-                          while (x < fw) {
-                            val rgb = img.getRGB(x, y)
-                            val luma = (((rgb >> 16) & 0xff) * 299 +
-                              ((rgb >> 8) & 0xff) * 587 +
-                              (rgb & 0xff) * 114) / 1000
-                            hist(luma) += 1
-                            x += 1
-                          }
-                          y += 1
-                        }
-                        total += fw.toLong * fh
+                        lumaHistogram(img, hist)
+                        total += img.getWidth.toLong * img.getHeight
                       case None => // skip an undecodable frame
                     }
                     fi += frameStride

@@ -258,12 +258,33 @@ class DedupSpec extends AnyFunSuite {
     // logarithmically. Worst ordering for min-propagation: ids descending.
     val n = 1000L
     val pairs = (1L until n).map(i => (n - i, n - i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.nearDupClustersWithRounds(pairs, maxRounds = 25)
+    // localSolveMaxPairs = 0 pins the DISTRIBUTED star loop — the round
+    // bound is this spec's whole point (the local fast path would trivially
+    // report 0 rounds and assert nothing)
+    val (labels, rounds) =
+      Dedup.nearDupClustersWithRounds(pairs, maxRounds = 25, localSolveMaxPairs = 0)
     val cap = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt // = 20
     assert(rounds <= cap, s"took $rounds rounds, cap $cap")
     val clusters = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(clusters.length == n.toInt)
     assert(clusters.forall(_._2 == 1L))
+  }
+
+  test("connected components: local union-find == distributed loop on a random graph") {
+    // the small-graph fast path (driver union-find) must label identically
+    // to the distributed star loop — same seeded random graph, with self
+    // loops and duplicate edges mixed in to exercise the edge-cleanup parity
+    val rnd = new scala.util.Random(4062)
+    val edges = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val pairs = edges.toDF("id_a", "id_b")
+    val (local, lr) = Dedup.nearDupClustersWithRounds(pairs)
+    assert(lr == 0, s"expected the local fast path, got $lr rounds")
+    val (dist, dr) =
+      Dedup.nearDupClustersWithRounds(pairs, localSolveMaxPairs = 0)
+    assert(dr > 0, s"expected the distributed loop, got $dr rounds")
+    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == dm)
   }
 
   test("connected components: log-round == one-hop baseline on a random graph") {
