@@ -212,7 +212,14 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
+    // materialized ONCE: the posting table feeds the df aggregation AND the
+    // join back AND (through `prefix`) both sides of the posting self-join —
+    // without the checkpoint the shingling pass re-executes per consumer
+    // (measured: the prefix chain paid ~4 full posting passes at bench
+    // scale). Same lifecycle-stage precedent as dedupCorpus's exact table:
+    // a production run materializes the inverted index before joining it.
     val postings = shinglePostings(docs, idCol, textCol, shingleK)
+      .localCheckpoint()
     val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = postings.join(dfreq, Seq("shingle"))
       .withColumn("rk", row_number().over(
@@ -226,6 +233,7 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(FpEps)) + 1)
       .select("shingle", "id", "sz")
+      .localCheckpoint() // feeds both sides of the self-join below
     val a = prefix.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))
@@ -265,17 +273,87 @@ object Dedup {
     * web-like corpus the ordering flips. The two strategies are the same
     * logical operator — pick by corpus df statistics, the engine's analog
     * of Spark's broadcast-vs-sort-merge join choice. */
+  /** Posting-list df above which [[ngramNearDupsByCount]] routes a shingle
+    * through the pairwise self-join instead of the grouped combination
+    * kernel: the kernel buffers one shingle's full (id, sz) posting list in
+    * aggregation state (≤ ~16 B × df), so the cap bounds that state at a
+    * few MB while hot shingles keep the join's graceful spill behavior. */
+  val CountJoinHotDf: Long = 1L << 18
+
   def ngramNearDupsByCount(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
+      threshold: Double = 0.8, shingleK: Int = 3,
+      hotDfCap: Long = CountJoinHotDf): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(hotDfCap >= 1, s"hotDfCap must be >= 1, got $hotDfCap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one shingling pass, reused by the hot-shingle probe and both pair
+    // generators (the ngramCandidates materialization rationale)
     val postings = shinglePostings(docs, idCol, textCol, shingleK)
-    val a = postings.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = postings.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(sizeCompatible(threshold))
+      .localCheckpoint()
+    // HOT shingles (df > cap) are tiny BY CONSTRUCTION of the cap (at most
+    // |postings| / cap of them) — one partial-agg count probe finds them;
+    // the common case (every df under the cap) costs exactly that probe and
+    // routes everything through the grouped kernel with NO join at all.
+    val hotShingles = postings.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDfCap)
+      .select("shingle")
+      .localCheckpoint() // feeds the anti + semi splits below (tiny)
+    val anyHot = !hotShingles.isEmpty
+    // COLD shingles: group each shingle's posting list once and enumerate
+    // its C(df, 2) id pairs directly in a typed kernel, size filter applied
+    // at generation. Emits id_a < id_b pairs ONCE each per shingle — half
+    // the rows of the self-join (which generates df² and then filters
+    // a < b) and no join. Aggregation state is bounded by the cap
+    // (≤ ~16 B × hotDfCap per shingle).
+    val coldPostings =
+      if (anyHot) postings.join(hotShingles, Seq("shingle"), "left_anti")
+      else postings
+    val eps = FpEps
+    val thr = threshold
+    val cold = coldPostings
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
+      .select(col("docs"))
+      .as[Seq[(Long, Int)]]
+      .mapPartitions(_.flatMap { docs =>
+        val n = docs.size
+        val arr = docs.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val (ia, sa) = arr(i); val (ib, sb) = arr(j)
+            val (la, lb, xa, xb) =
+              if (ia < ib) (ia, ib, sa, sb) else (ib, ia, sb, sa)
+            // identical size filter to sizeCompatible (same FpEps guard)
+            if (math.max(xa, xb) * thr - eps <= math.min(xa, xb))
+              out += ((la, lb, xa, xb))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }).toDF("id_a", "id_b", "sz_a", "sz_b")
+    // HOT shingles: the original pairwise self-join — its shuffle spills
+    // gracefully where a buffered posting list would OOM.
+    val pairs = if (!anyHot) cold else {
+      val hot = postings.join(hotShingles, Seq("shingle"), "left_semi")
+      val hotA = hot.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val hotB = hot.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
+      val hotPairs = hotA.join(hotB, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(sizeCompatible(threshold))
+        .select("id_a", "id_b", "sz_a", "sz_b")
+      // a pair's shingles split between branches still sum to the one
+      // intersection count in the shared aggregate below
+      cold.unionByName(hotPairs)
+    }
+    pairs
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
@@ -303,24 +381,23 @@ object Dedup {
       shingleK: Int = 3, sampleDocs: Int = 2048,
       meanDfCutoff: Double = 3.0): String = {
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val total = base.count()
-    val plan = HashSample.plan(base, "id", sampleDocs, total)
-    // one aggregation pass carries the doc count so the undershoot check
-    // (HashSample scaladoc) costs no extra scan on the common path
-    def statsOf(sample: DataFrame): (Long, Long, Long) = {
-      val r = shinglePostings(sample, "id", "text", shingleK)
-        .agg(count(lit(1)).as("postings"),
-          countDistinct(col("shingle")).as("distinct_shingles"),
-          countDistinct(col("id")).as("docs"))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // the sample is bounded by construction (sampleDocs rows), so the df
+    // statistics are computed DRIVER-SIDE over the collected rows — the
+    // Ivf.fit/Pq.fit trainer pattern — instead of a cluster aggregation
+    // whose two countDistincts expanded the sampled posting stream 3×
+    // (measured ~0.5 s of the q57 leg for a 2048-doc sample). Same
+    // HashSample plan + undershoot rule, so the sampled doc set — and the
+    // decision — is identical to the aggregation form.
+    val rows = HashSample.collectRows(base, "id", sampleDocs)
+    var postings = 0L
+    val distinct = new java.util.HashSet[String]()
+    rows.foreach { r =>
+      val t = r.getString(1)
+      val sh = HashCore.shingleStrings(if (t == null) "" else t, shingleK)
+      postings += sh.length
+      sh.foreach(distinct.add)
     }
-    var (postings, distinct, nDocs) = statsOf(plan.sampled)
-    if (plan.undershot(nDocs, sampleDocs, total)) {
-      val s = statsOf(plan.fallback)
-      postings = s._1; distinct = s._2
-    }
-    if (distinct == 0L || postings.toDouble / distinct <= meanDfCutoff)
+    if (distinct.isEmpty || postings.toDouble / distinct.size <= meanDfCutoff)
       "prefix"
     else "count"
   }

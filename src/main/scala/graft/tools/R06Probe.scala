@@ -171,6 +171,41 @@ object R06Probe {
       t("q46.decode only")(Multimodal.decode(media).toDF())
     }
 
+    if (sel("q65")) {
+      jobDesc("q65 stages")
+      t("q65 full (warm1)")(graft.SparkEntry.queries("q65_paragraph_dedup")(spark, sfDir))
+      t("q65 full (warm2)")(graft.SparkEntry.queries("q65_paragraph_dedup")(spark, sfDir))
+      // the synthesized-paragraph projection alone (the textCol expression
+      // the operator evaluates once per consumer)
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val words = split(col("text"), " ")
+      val nP = expr("(size(split(text, ' ')) + 9) div 10")
+      val paras = transform(sequence(lit(0), (nP - lit(1)).cast("int")),
+        i => array_join(slice(words, i * lit(10) + lit(1), lit(10)), " "))
+      val ptext = array_join(paras, "\n")
+      val plantedTxt = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("BOILERPLATE COOKIE NOTICE ACCEPT ALL\n"), ptext))
+        .otherwise(ptext)
+      t("q65.synthesis projection only")(
+        d.select(col("doc_id"), plantedTxt.as("text")))
+      t("q65.synthesis + posexplode")(
+        d.select(col("doc_id"), plantedTxt.as("text"))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\n")).as(Seq("_pos", "_p"))))
+    }
+
+    if (sel("q69")) {
+      jobDesc("q69 stages")
+      t("q69 full (warm1)")(graft.SparkEntry.queries("q69_ann_pq_topk")(spark, sfDir))
+      t("q69 full (warm2)")(graft.SparkEntry.queries("q69_ann_pq_topk")(spark, sfDir))
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val tf = System.nanoTime()
+      val model = Pq.fit(e, "vec_id", "embedding", m = 16, ksub = 32)
+      println(f"[r06probe] q69.fit ${(System.nanoTime() - tf) / 1e9}%7.2f s")
+      t("q69.encode only")(Pq.encode(e, "vec_id", "embedding", model))
+    }
+
     if (sel("extract")) {
       jobDesc("extract leg")
       val nConvs = graft.SparkEntry.nConvsFor(sfDir) * 12

@@ -148,6 +148,25 @@ class DedupSpec extends AnyFunSuite {
     assert(gotCount.toSeq == got.toSeq)
   }
 
+  test("count-join hot/cold df split: any hotDfCap returns identical rows") {
+    // a pair's shingles split between the grouped-combination branch
+    // (df <= cap) and the pairwise-join branch (df > cap) must still sum to
+    // the one exact intersection count — sweep the cap from "everything
+    // hot" through mixed to "everything cold" (the default)
+    val docs = planted(corpus(20))
+    val expect = Dedup.ngramNearDupsByCount(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(expect.nonEmpty)
+    for (cap <- Seq(1L, 3L, 20L)) {
+      val got = Dedup.ngramNearDupsByCount(docs, "doc_id", "text", 0.6,
+        hotDfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      assert(got == expect, s"hotDfCap=$cap")
+    }
+  }
+
   test("IEEE boundary thresholds: J == t pairs survive both strategies") {
     // t=0.8, sizes (5,4), intersection 4 -> J = 4/5 = fl(0.8) exactly. The
     // naive floor((1-t)*sz)+1 prefix length lands an ulp short (prefix 1,
