@@ -837,6 +837,7 @@ object SparkEntry {
     * scans from the table once, not per query. */
   @volatile private var mediaSlot: Option[(SparkSession, String,
     org.apache.spark.sql.Dataset[Multimodal.MediaRow])] = None
+  private val mediaSlotLock = new Object
 
   def mediaTable(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
@@ -844,17 +845,28 @@ object SparkEntry {
       case Some((cs, cd, m)) if (cs eq s) && cd == dir => return m
       case _ =>
     }
-    mediaSlot.foreach { case (cs, _, m) =>
-      mediaSlot = None
-      if (!cs.sparkContext.isStopped) {
-        try m.unpersist() catch { case scala.util.control.NonFatal(_) => }
-      }
-    }
     val m = Multimodal.synthesizeMedia(load(s, dir, "documents"), s)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     m.count() // materialize here, outside any timed region
-    mediaSlot = Some((s, dir, m))
-    m
+    // slot swap under a lock (r05 ADVICE): two concurrent callers could
+    // both synthesize — the LOSER must unpersist its own dataset instead of
+    // leaking executor cache. Synthesis stays outside the lock (the
+    // skipRuleOutcome rule: a lost race recomputes, never blocks).
+    mediaSlotLock.synchronized {
+      mediaSlot match {
+        case Some((cs, cd, cached)) if (cs eq s) && cd == dir =>
+          try m.unpersist() catch { case scala.util.control.NonFatal(_) => }
+          cached
+        case prev =>
+          prev.foreach { case (cs, _, old) =>
+            if (!cs.sparkContext.isStopped) {
+              try old.unpersist() catch { case scala.util.control.NonFatal(_) => }
+            }
+          }
+          mediaSlot = Some((s, dir, m))
+          m
+      }
+    }
   }
 
   /** BPE packing cell parameters — ONE definition shared by the q66 and

@@ -168,6 +168,10 @@ object Multimodal {
     * — both JDK built-ins, no external codecs; video rows fall through to
     * the clearly-marked byte-level STUB with decoded=false. */
   def decode(media: Dataset[MediaRow], frameStride: Int = 10): Dataset[MediaFeatures] = {
+    // frameStride = 0 would infinite-loop the MJPEG frame walk on an
+    // executor (the old byte-stub failed fast with a divide-by-zero);
+    // reject it at the API boundary instead (r05 ADVICE)
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
