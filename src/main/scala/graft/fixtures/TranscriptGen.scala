@@ -83,41 +83,111 @@ object TranscriptGen {
   private val alphaToConfus = Map('Z' -> '2', 'G' -> '6', 'B' -> '8', 'I' -> '1')
   private val yearToConfus = Map('0' -> 'O', '5' -> 'S', '1' -> 'I', '6' -> 'G')
 
-  /** A valid value for zone (catalogId, width), already exactly `width` chars. */
+  /** Zero-pad to 4 digits — the manual form of `f"$n%04d"` for 0 ≤ n ≤ 9999
+    * (String.format parses its pattern per call; this runs once per FK zone
+    * in the generator hot loop — bit-identity pinned by TranscriptGenSpec). */
+  private def pad4(n: Int): String =
+    if (n >= 1000) Integer.toString(n)
+    else if (n >= 100) "0" + n
+    else if (n >= 10) "00" + n
+    else "000" + n
+
+  /** A valid value for zone (catalogId, width), already exactly `width` chars.
+    * Char-array loops replace Vector.fill(..).mkString (same RNG call order,
+    * same bytes — generator fingerprint spec-pinned). */
   def zoneValue(catalogId: Int, width: Int, rng: Rng): String = catalogId match {
-    case 0 => Vector.fill(width)(FreeChars(rng.nextInt(FreeChars.length))).mkString
+    case 0 =>
+      val a = new Array[Char](width)
+      var i = 0
+      while (i < width) { a(i) = FreeChars.charAt(rng.nextInt(FreeChars.length)); i += 1 }
+      new String(a)
     case 1 =>
       if (rng.nextBool(10)) "_" * width
-      else Vector.fill(width)(('0' + rng.nextInt(10)).toChar).mkString
+      else {
+        val a = new Array[Char](width)
+        var i = 0
+        while (i < width) { a(i) = ('0' + rng.nextInt(10)).toChar; i += 1 }
+        new String(a)
+      }
     case 32 | 42 =>
       val ids = if (rng.nextBool(85)) PersonIds else CommunityIds
-      f"${ids.start + rng.nextInt(ids.length)}%04d"
+      pad4(ids.start + rng.nextInt(ids.length))
     case c =>
       val id = if (c == 27) 9 else c
       rng.pick(Catalogs.keys(id))
   }
 
+  /** Per-catalog confusion classification, memoized ONCE from the exact
+    * expressions corruptZone previously evaluated per call (pure,
+    * RNG-free): 1 = digit-confusion catalog, 2 = alpha-confusion. */
+  private val ConfusKind: Array[Byte] = {
+    val a = new Array[Byte](64)
+    var c = 0
+    while (c < 64) {
+      if (Grammar.fixKnownIssues(c, "O") == "0") a(c) = 1
+      else if (Grammar.fixKnownIssues(c, "2") == "Z") a(c) = 2
+      c += 1
+    }
+    a
+  }
+
+  /** One unconditional 50%-per-char confusion pass (the map form of the
+    * original `v.map(c => if (rng.nextBool(50)) m.getOrElse(c, c) else c)` —
+    * identical RNG call sequence: one nextBool per char). */
+  private def confuseChars(v: String, rng: Rng, m: Map[Char, Char]): String = {
+    val a = v.toCharArray
+    var i = 0
+    while (i < a.length) {
+      if (rng.nextBool(50)) a(i) = m.getOrElse(a(i), a(i))
+      i += 1
+    }
+    new String(a)
+  }
+
   /** Corrupt a zone value through the inverse confusion map (repairable). */
   def corruptZone(catalogId: Int, v: String, rng: Rng): String = catalogId match {
     case 0 => v
-    case 1 => v.map(c => if (rng.nextBool(50)) yearToConfus.getOrElse(c, c) else c)
-    case 32 | 42 => v.map(c => if (c == '0' && rng.nextBool(40)) 'O' else c)
+    case 1 => confuseChars(v, rng, yearToConfus)
+    case 32 | 42 =>
+      // nextBool fires ONLY on '0' chars — the original short-circuit order
+      val a = v.toCharArray
+      var i = 0
+      while (i < a.length) {
+        if (a(i) == '0' && rng.nextBool(40)) a(i) = 'O'
+        i += 1
+      }
+      new String(a)
     case c0 =>
       val c = if (c0 == 27) 9 else c0
-      if (Grammar.fixKnownIssues(c, "O") == "0") // digit-confusion catalog
-        v.map(ch => if (rng.nextBool(50)) digitToConfus.getOrElse(ch, ch) else ch)
-      else if (Grammar.fixKnownIssues(c, "2") == "Z") // alpha-confusion catalog
-        v.map(ch => if (rng.nextBool(50)) alphaToConfus.getOrElse(ch, ch) else ch)
+      val kind: Byte =
+        if (c >= 0 && c < 64) ConfusKind(c)
+        else if (Grammar.fixKnownIssues(c, "O") == "0") 1
+        else if (Grammar.fixKnownIssues(c, "2") == "Z") 2
+        else 0
+      if (kind == 1) confuseChars(v, rng, digitToConfus) // digit-confusion catalog
+      else if (kind == 2) confuseChars(v, rng, alphaToConfus) // alpha-confusion
       else v // catalogs without a fix map (incl. 3's bigrams): leave intact
   }
 
+  // (cat, width) zone layouts aligned with ModuleTypes — one Map lookup per
+  // TYPE at init instead of per generated module
+  private val ModuleZoneCats: Array[Array[Int]] =
+    ModuleTypes.map(t => Grammar.moduleZones(t).map(_._1).toArray).toArray
+  private val ModuleZoneWidths: Array[Array[Int]] =
+    ModuleTypes.map(t => Grammar.moduleZones(t).map(_._2).toArray).toArray
+
   /** One valid 10-char module string (optionally confusion-corrupted). */
   def moduleString(rng: Rng, corrupt: Boolean): String = {
-    val tpe = ModuleTypes(rng.nextInt(ModuleTypes.length))
-    val sb = new StringBuilder(tpe)
-    Grammar.moduleZones(tpe).foreach { case (cat, width) =>
-      val v = zoneValue(cat, width, rng)
-      sb.append(if (corrupt) corruptZone(cat, v, rng) else v)
+    val ti = rng.nextInt(ModuleTypes.length)
+    val sb = new java.lang.StringBuilder(12)
+    sb.append(ModuleTypes(ti))
+    val cats = ModuleZoneCats(ti)
+    val widths = ModuleZoneWidths(ti)
+    var z = 0
+    while (z < cats.length) {
+      val v = zoneValue(cats(z), widths(z), rng)
+      sb.append(if (corrupt) corruptZone(cats(z), v, rng) else v)
+      z += 1
     }
     var s = sb.toString
     // Prefix corruption repaired by rewritePrefix (diary_module_parser.py:185-201).
@@ -135,7 +205,14 @@ object TranscriptGen {
     * slicer drops as the inter-module separator). */
   def contentLine(rng: Rng): String = {
     val n = 1 + rng.nextInt(ModuleParser.MaxModulesPerRow)
-    Vector.fill(n)(moduleString(rng, corrupt = rng.nextBool(25))).mkString("   ")
+    val sb = new java.lang.StringBuilder(13 * n)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append("   ")
+      sb.append(moduleString(rng, corrupt = rng.nextBool(25)))
+      i += 1
+    }
+    sb.toString
   }
 
   /** Deliberate error rows, rotating through the dead-letter codes. */
@@ -154,12 +231,12 @@ object TranscriptGen {
   }
 
   // ---- boilerplate / prose ----------------------------------------------
-  def navBlock(rng: Rng): String = {
-    val items = Vector("Home", "Index", "Archive", "About", "Contact")
-    items.take(3 + rng.nextInt(3))
-      .map(i => s"""<a href="https://example.org/${i.toLowerCase}">$i</a>""")
-      .mkString("<nav>", " | ", "</nav>")
-  }
+  // anchors precomputed once (they are constants; the old form re-built the
+  // interpolated strings + toLowerCase per generated nav block)
+  private val NavAnchors = Vector("Home", "Index", "Archive", "About", "Contact")
+    .map(i => s"""<a href="https://example.org/${i.toLowerCase}">$i</a>""")
+  def navBlock(rng: Rng): String =
+    NavAnchors.take(3 + rng.nextInt(3)).mkString("<nav>", " | ", "</nav>")
   def footerBlock(rng: Rng): String =
     s"""<footer><a href="https://example.org/terms">terms</a> c ${1900 + rng.nextInt(100)} example</footer>"""
 
@@ -197,12 +274,26 @@ object TranscriptGen {
     }
   }
 
-  def convId(convIdx: Long): String = f"conv-$convIdx%08d"
+  def convId(convIdx: Long): String = {
+    // manual zero-pad of the non-negative index — same bytes as the old
+    // `f"conv-$convIdx%08d"` without a String.format pattern parse per turn
+    val s = java.lang.Long.toString(convIdx)
+    val sb = new java.lang.StringBuilder(5 + math.max(8, s.length))
+    sb.append("conv-")
+    var i = s.length
+    while (i < 8) { sb.append('0'); i += 1 }
+    sb.append(s).toString
+  }
 
   /** Entity id owned by a conversation (headers + FK zones reference it). */
   def convEntity(convIdx: Long): Int =
     if (convIdx % 11 == 3) (CommunityIds.start + (convIdx % CommunityIds.length)).toInt
     else (PersonIds.start + (convIdx % PersonIds.length)).toInt
+
+  // the four possible tool-item payloads of `(0 until n).map(i => s""\"r$i\"")
+  // .mkString(", ")` for n in 0..3 — constants, table-looked-up per tool turn
+  private val ToolItemLists =
+    Array("", "\"r0\"", "\"r0\", \"r1\"", "\"r0\", \"r1\", \"r2\"")
 
   /** Build one turn (pure, independent of any other turn). */
   def turn(seed: Long, nConvs: Long, convIdx: Long, turnIdx: Int): Turn = {
@@ -212,14 +303,14 @@ object TranscriptGen {
       case 1 => "assistant"
       case _ => "tool"
     }
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder(96)
     role match {
       case "user" =>
         if (rng.nextBool(60)) { sb.append(navBlock(rng)); sb.append("\n\n") }
         sb.append(proseBlock(rng))
       case "tool" =>
         sb.append("{\"status\": \"ok\", \"items\": [")
-        sb.append((0 until rng.nextInt(4)).map(i => s"\"r$i\"").mkString(", "))
+        sb.append(ToolItemLists(rng.nextInt(4)))
         sb.append("]}")
       case _ => // assistant: the payload carrier
         if (rng.nextBool(40)) { sb.append(navBlock(rng)); sb.append("\n\n") }
@@ -229,11 +320,13 @@ object TranscriptGen {
           sb.append("\n===\n\n")
         }
         val nRows = 1 + rng.nextInt(4)
-        val lines = (0 until nRows).map { r =>
-          if (rng.nextBool(8)) errorLine(rngFor(seed, convIdx, turnIdx, r + 1000), r)
-          else contentLine(rngFor(seed, convIdx, turnIdx, r + 1))
+        var r = 0
+        while (r < nRows) { // direct appends — no per-turn line Vector
+          if (r > 0) sb.append('\n')
+          if (rng.nextBool(8)) sb.append(errorLine(rngFor(seed, convIdx, turnIdx, r + 1000), r))
+          else sb.append(contentLine(rngFor(seed, convIdx, turnIdx, r + 1)))
+          r += 1
         }
-        sb.append(lines.mkString("\n"))
         if (rng.nextBool(30)) { sb.append("\n\n"); sb.append(footerBlock(rng)) }
     }
     val tool = if (role == "tool") (if (rng.nextBool(50)) "search" else "exec") else null
