@@ -118,7 +118,9 @@ object Dedup {
       val spark = d.sparkSession
       import spark.implicits._
       d.as[(Long, String)].mapPartitions(_.map { case (id, text) =>
-        (id, HashCore.shingleStrings(text, shingleK))
+        // null-safe like the Column form it replaced (shinglesCol over a
+        // null text degraded to the single empty shingle)
+        (id, HashCore.shingleStrings(if (text == null) "" else text, shingleK))
       }).toDF("id", "sh")
     }
     val (cands, sh) =
@@ -320,24 +322,43 @@ object Dedup {
       .select(col("docs"))
       .as[Seq[(Long, Int)]]
       .mapPartitions(_.flatMap { docs =>
-        val n = docs.size
+        // LAZY pair enumeration: per-task memory stays the input posting
+        // list (≤ ~16 B × hotDfCap) — materializing the C(df,2) output
+        // pairs first would be O(df²) heap where the replaced self-join
+        // spilled gracefully
         val arr = docs.toArray
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            val (ia, sa) = arr(i); val (ib, sb) = arr(j)
-            val (la, lb, xa, xb) =
-              if (ia < ib) (ia, ib, sa, sb) else (ib, ia, sb, sa)
-            // identical size filter to sizeCompatible (same FpEps guard)
-            if (math.max(xa, xb) * thr - eps <= math.min(xa, xb))
-              out += ((la, lb, xa, xb))
-            j += 1
+        val n = arr.length
+        new Iterator[(Long, Long, Int, Int)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long, Int, Int) = null
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && i < n) {
+              while (nextPair == null && j < n) {
+                val (ia, sa) = arr(i); val (ib, sb) = arr(j)
+                j += 1
+                // strict inequality: a duplicated input id must not emit a
+                // self-pair (the pairwise-join branch filters id_a < id_b)
+                if (ia != ib) {
+                  val (la, lb, xa, xb) =
+                    if (ia < ib) (ia, ib, sa, sb) else (ib, ia, sb, sa)
+                  // identical size filter to sizeCompatible (same FpEps)
+                  if (math.max(xa, xb) * thr - eps <= math.min(xa, xb))
+                    nextPair = (la, lb, xa, xb)
+                }
+              }
+              if (nextPair == null) { i += 1; j = i + 1 }
+            }
           }
-          i += 1
+          advance()
+          override def hasNext: Boolean = nextPair != null
+          override def next(): (Long, Long, Int, Int) = {
+            val p = nextPair
+            advance()
+            p
+          }
         }
-        out.iterator
       }).toDF("id_a", "id_b", "sz_a", "sz_b")
     // HOT shingles: the original pairwise self-join — its shuffle spills
     // gracefully where a buffered posting list would OOM.
@@ -569,20 +590,14 @@ object Dedup {
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      val minOfRoot = new java.util.HashMap[Long, Long]()
-      val it0 = parent.keySet().iterator()
-      while (it0.hasNext) {
-        val id = it0.next()
-        val root = find(id)
-        val cur = minOfRoot.getOrDefault(root, Long.MaxValue)
-        if (id < cur) minOfRoot.put(root, id)
-      }
+      // every union attaches the larger root beneath the smaller, so each
+      // component's root IS its minimum id — find() resolves the label
       val out = new Array[(Long, Long)](parent.size())
       val it1 = parent.keySet().iterator()
       var i = 0
       while (it1.hasNext) {
         val id = it1.next()
-        out(i) = (id, minOfRoot.get(find(id)))
+        out(i) = (id, find(id))
         i += 1
       }
       return (spark.createDataset(out.toIndexedSeq)

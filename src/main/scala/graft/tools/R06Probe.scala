@@ -68,47 +68,15 @@ object R06Probe {
       import spark3.implicits._
       t("q57.prefix+verify (typed verify)")(
         Dedup.ngramNearDups(planted, "doc_id", "text", 0.7, strategy = "prefix"))
-      // variant C: per-shingle grouped combination generation (a<b emitted
-      // directly, size filter at generation) -> same pair aggregate
-      def byCountGrouped(threshold: Double): DataFrame = {
-        val postings = planted.select(col("doc_id").cast("long").as("id"), col("text"))
-          .as[(Long, String)]
-          .mapPartitions(_.flatMap { case (id, text) =>
-            val sh = HashCore.shingleStrings(text, 3)
-            sh.iterator.map(s => (id, sh.length, s))
-          }).toDF("id", "sz", "shingle")
-        val grouped = postings.groupBy(col("shingle"))
-          .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
-          .select(col("docs"))
-        val eps = 1e-9
-        val pairs = grouped.as[Seq[(Long, Int)]].flatMap { docs =>
-          val n = docs.size
-          val arr = docs.toArray
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
-          var i = 0
-          while (i < n) {
-            var j = i + 1
-            while (j < n) {
-              val (ia, sa) = arr(i); val (ib, sb) = arr(j)
-              val (la, lb, xa, xb) =
-                if (ia < ib) (ia, ib, sa, sb) else (ib, ia, sb, sa)
-              if (math.max(xa, xb) * threshold - eps <= math.min(xa, xb))
-                out += ((la, lb, xa, xb))
-              j += 1
-            }
-            i += 1
-          }
-          out
-        }.toDF("id_a", "id_b", "sz_a", "sz_b")
-        pairs.groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("jaccard",
-            col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")))
-          .filter(col("jaccard") >= threshold)
-          .select("id_a", "id_b", "jaccard")
-      }
-      t("q57.byCount grouped-combos (C)")(byCountGrouped(0.7))
-      t("q57.byCount grouped-combos run2")(byCountGrouped(0.7))
+      // the production grouped-combination kernel, forced all-cold (one
+      // shared implementation — a probe-local copy would drift from the
+      // shipped path and stop measuring it)
+      t("q57.byCount grouped-combos (C)")(
+        Dedup.ngramNearDupsByCount(planted, "doc_id", "text", 0.7,
+          hotDfCap = Long.MaxValue))
+      t("q57.byCount grouped-combos run2")(
+        Dedup.ngramNearDupsByCount(planted, "doc_id", "text", 0.7,
+          hotDfCap = Long.MaxValue))
       t("q57.postings pass only")(
         planted.select(col("doc_id").cast("long").as("id"), col("text"))
           .as[(Long, String)]

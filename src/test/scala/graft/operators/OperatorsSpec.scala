@@ -165,6 +165,17 @@ class DedupSpec extends AnyFunSuite {
         .sortBy(p => (p._1, p._2)).toSeq
       assert(got == expect, s"hotDfCap=$cap")
     }
+    // a duplicated input id must not surface as a self-pair from either
+    // branch (the grouped kernel normalizes (min, max) — without the
+    // strict-inequality skip an equal-id pair would slip through where the
+    // pairwise join filters id_a < id_b)
+    val dup = docs.union(docs.limit(1))
+    for (cap <- Seq(1L, Long.MaxValue)) {
+      val self = Dedup.ngramNearDupsByCount(dup, "doc_id", "text", 0.6,
+        hotDfCap = cap)
+        .filter(col("id_a") === col("id_b")).count()
+      assert(self == 0L, s"hotDfCap=$cap emitted self-pairs")
+    }
   }
 
   test("IEEE boundary thresholds: J == t pairs survive both strategies") {
